@@ -1,0 +1,291 @@
+"""Deduplication operators for training-data pipelines: exact hash
+dedup, n-gram Jaccard, MinHash+LSH, SimHash — each as a
+(Spark plan, DuckDB oracle) pair over the ``documents`` table.
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy — one shuffle on the content hash,
+  map-side combinable.
+- Pairwise Jaccard is only ever run on *candidate* pairs.  The
+  all-pairs variant here joins on shared shingles (an inverted-index
+  join), which already avoids the O(n²) cross product; the MinHash+LSH
+  variant is the scale path — band signatures shrink the join key
+  space so the shuffle moves |docs|×|bands| short rows instead of
+  |docs|×|shingles|.
+- All hashing is md5 (JVM built-in, also in DuckDB) so the oracle is
+  bit-identical; a production deployment would swap in xxhash64 for
+  speed without changing the plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, table
+
+# Word-level 3-gram shingles, 1-based indexing — identical semantics in
+# Spark SQL and DuckDB (element_at / list[i] are both 1-based).
+SHINGLE_SPARK = (
+    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+    "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2))))"
+)
+SHINGLE_DUCK = (
+    "list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2), "
+    "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] "
+    "|| ' ' || string_split(text, ' ')[i+2]))"
+)
+
+N_MINHASH = 8  # 4 bands × 2 rows
+N_BANDS = 4
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) — exploded distinct shingles; docs with <3 tokens
+    are excluded (mirrored in every oracle)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", F.explode(F.expr(SHINGLE_SPARK)).alias("s"))
+    )
+
+
+_SHINGLE_CTE_DUCK = f"""
+    sh AS (
+      SELECT doc_id, UNNEST({SHINGLE_DUCK}) AS s
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    )
+"""
+
+
+@register(
+    "q_dedup_exact",
+    headline=True,
+    oracle="""
+    SELECT MD5(text) AS content_hash,
+           MIN(doc_id) AS canonical_doc,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY MD5(text)
+    ORDER BY content_hash
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content hash, min(doc_id) as
+    the deterministic canonical survivor.
+
+    Scale: one shuffle keyed by a uniform 128-bit hash — no skew by
+    construction; the dedup of 100 TB is bounded by scan + one
+    exchange of (hash, id) pairs."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
+        .orderBy("content_hash")
+    )
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    headline=True,
+    oracle=f"""
+    WITH {_SHINGLE_CTE_DUCK},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup detection via an inverted-index join on
+    shared shingles (never a cross product).
+
+    Scale: the join fans out by shingle-bucket size; at 100 TB the
+    hot shingles (boilerplate) need a frequency cap — handled in
+    omim_spark.operators.dedup with a document-frequency filter; here
+    the synthetic vocabulary is small enough to skip it."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    headline=True,
+    oracle=f"""
+    WITH {_SHINGLE_CTE_DUCK},
+    mh AS (
+      SELECT doc_id, j, MIN(MD5(CAST(j AS VARCHAR) || ':' || s)) AS h
+      FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {N_MINHASH})) AS j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, (j - 1) // 2 AS band,
+             MIN(CASE WHEN j % 2 = 1 THEN h END) || '|' ||
+             MIN(CASE WHEN j % 2 = 0 THEN h END) AS sig
+      FROM mh GROUP BY doc_id, (j - 1) // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT doc_a, doc_b, COUNT(*) AS n_common
+      FROM cand
+      JOIN sh x ON x.doc_id = doc_a
+      JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: 8 md5-seeded minhashes, 4 bands × 2 rows;
+    candidate pairs = docs sharing any band signature; candidates are
+    then verified with true Jaccard.
+
+    Scale: this is THE near-dup path for 100 TB — the signature table
+    is |docs|×4 short rows, the candidate join is on (band, sig) whose
+    bucket sizes are the near-dup cluster sizes, and only candidates
+    pay the shingle-intersection cost."""
+    sh = _shingles(spark, sf_dir)
+    seeds = spark.range(1, N_MINHASH + 1).select(F.col("id").cast("int").alias("j"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.min(
+                F.md5(
+                    F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s")).cast(
+                        "binary"
+                    )
+                )
+            ).alias("h")
+        )
+    )
+    bands = mh.groupBy(
+        "doc_id", F.expr("(j - 1) div 2").alias("band")
+    ).agg(
+        F.concat(
+            F.min(F.when(F.col("j") % 2 == 1, F.col("h"))),
+            F.lit("|"),
+            F.min(F.when(F.col("j") % 2 == 0, F.col("h"))),
+        ).alias("sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_sql(dialect: str) -> str:
+    """Generate the 16-bit SimHash query for either engine.
+
+    SimHash bit p = sign of Σ_tokens (2·bit_p(md5(token)) − 1), where
+    bit_p comes from the first four hex nibbles of the token's md5.
+    Integer-only arithmetic → bit-identical across engines.
+    """
+    if dialect == "spark":
+        strpos = "instr('0123456789abcdef', substring(md5(cast(tok as binary)), {i}, 1)) - 1"
+        intdiv = "div"
+    else:
+        strpos = "strpos('0123456789abcdef', substr(md5(tok), {i}, 1)) - 1"
+        intdiv = "//"
+    bit_sums = []
+    for p in range(16):
+        i = p // 4 + 1  # which hex nibble (1-based)
+        b = p % 4  # which bit within the nibble
+        v = strpos.format(i=i)
+        bit = f"((({v}) {intdiv} {1 << b}) % 2)"
+        bit_sums.append(f"SUM(2 * {bit} - 1) AS s{p}")
+    simhash = " + ".join(f"(CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(16))
+    unnest = (
+        "SELECT doc_id, explode(array_distinct(split(text, ' '))) AS tok FROM documents"
+        if dialect == "spark"
+        else "SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS tok FROM documents"
+    )
+    return f"""
+    WITH toks AS ({unnest}),
+    sums AS (
+      SELECT doc_id, {', '.join(bit_sums)}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {simhash} AS simhash
+    FROM sums
+    ORDER BY doc_id
+    """
+
+
+@register("q_dedup_simhash", oracle=_simhash_sql("duck"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (near-dup docs land on
+    equal or Hamming-close fingerprints).
+
+    Scale: explode + one partial-aggregated groupBy on doc_id; the
+    signature table is then joinable on simhash directly (Hamming-0)
+    or on rotated bit-bands for Hamming-k search."""
+    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_simhash_sql("spark"))

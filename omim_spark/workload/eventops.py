@@ -1,0 +1,190 @@
+"""Event-stream operators over the ``events`` table: tumbling-window
+rollups, gap-based sessionization, JSON prop extraction, and a
+per-user activity pivot.
+
+These are the batch twins of the Structured Streaming operators in
+``omim_spark.streaming`` — same logical windows, so a job can be
+validated in batch and deployed streaming (the reference is pure
+batch, SURVEY §2.8; the streaming tier is an engine extension).
+
+Timestamps are compared in integer microseconds (unix_micros /
+epoch_us) — never float seconds — so window and session boundaries are
+bit-identical across engines and at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import events_table, register
+from .relational import dsum, _dsum_sql
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+@register(
+    "q_events_hourly",
+    headline=True,
+    oracle=f"""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value')} AS total_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (hourly) with a distinct-count — the
+    batch form of a Structured Streaming windowed aggregation.
+
+    Scale: (hour, type) keys are unbounded over time but bounded per
+    micro-batch; COUNT(DISTINCT) is the one expensive agg here (two
+    shuffles) — at 100 TB swap to approx_count_distinct (HLL) unless
+    exactness is required."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "q_sessionize",
+    headline=True,
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w AS gap_us,
+             EPOCH_US(ts) AS ts_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT user_id, ts_us, value,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > {SESSION_GAP_US}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_s,
+           {_dsum_sql('value')} AS session_value
+    FROM flagged
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the batch twin of a session window in Structured Streaming.
+
+    Scale: one shuffle on user_id; each user's events sort locally
+    within the window — per-user cardinality bounds the sort, and a
+    hot user is the skew case AQE handles."""
+    ev = events_table(spark, sf_dir).select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        ev.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w_lag))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("gap_us").isNull() | (F.col("gap_us") > SESSION_GAP_US), 1
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w_run))
+    )
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            ((F.max("ts_us") - F.min("ts_us")) / 1_000_000)
+            .cast("long")
+            .alias("duration_s"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "q_json_props",
+    oracle=f"""
+    SELECT event_type,
+           SUM(CAST(REGEXP_EXTRACT(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS k_total,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured prop extraction from the JSON ``props`` column
+    (reference parses nested API JSON, omim_entry_parser.py:386-422;
+    at scale prefer from_json with an explicit schema — here a regexp
+    keeps the oracle engine-neutral)."""
+    ev = events_table(spark, sf_dir)
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_total"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_user_activity_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS clicks,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS views,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS signups,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS errors
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity pivot (fixed column set → single-pass
+    conditional aggregation; with a dynamic set use df.pivot, which
+    plans the same conditional aggs after a values scan)."""
+    ev = events_table(spark, sf_dir)
+
+    def cnt(t: str, alias: str):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(alias)
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            cnt("click", "clicks"),
+            cnt("view", "views"),
+            cnt("purchase", "purchases"),
+            cnt("signup", "signups"),
+            cnt("error", "errors"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,205 @@
+"""Similarity search over the ``embeddings`` table
+(``array<float>`` column): brute-force cosine top-k as the exactness
+baseline, a sign-LSH bucketed variant as the scale path, all-pairs
+near-dup detection, and per-label centroids.
+
+Design for 100 TB:
+- Brute force is a broadcast of the query vector + a single map stage
+  (score) + TakeOrderedAndProject — correct baseline, O(n·d).
+- Sign-LSH (random-hyperplane) buckets shrink the candidate set; the
+  hyperplanes are derived from md5 so the partitioner, the oracle, and
+  every executor agree without shipping a model.  This is the IVF-ish
+  layout: cluster/bucket id becomes the partition key, so a query
+  touches one partition instead of all of them.
+- All vector math stays in JVM expressions (zip_with/aggregate) — no
+  Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register, table
+
+N_PLANES = 8
+DIM = 64
+
+
+def _vec_double(col: str = "embedding") -> Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _cosine(a: str, b: str) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_COS_DUCK = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "q_knn_bruteforce",
+    headline=True,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({_COS_DUCK.format(a='v', b='qv')}, 6) AS cosine
+    FROM e CROSS JOIN q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector (ANN baseline).
+
+    Scale: query vector broadcasts (one row); scoring is a pure map
+    over the corpus; top-k is TakeOrderedAndProject — no global sort,
+    no shuffle of the corpus."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v"), "label"
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.round(_cosine("v", "qv"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# Sign-LSH: plane j's sign for dimension i is +1 iff the first md5
+# nibble of "j:i" is >= 8.  Integer-derived → identical in both engines.
+_PLANES_SPARK = (
+    f"transform(sequence(0, {N_PLANES - 1}), j -> "
+    f"transform(sequence(1, {DIM}), i -> "
+    "case when instr('0123456789abcdef', "
+    "substring(md5(cast(concat(j, ':', i) as binary)), 1, 1)) - 1 >= 8 "
+    "then 1.0D else -1.0D end))"
+)
+_PLANES_DUCK = (
+    f"list_transform(generate_series(0, {N_PLANES - 1}), j -> "
+    f"list_transform(generate_series(1, {DIM}), i -> "
+    "CASE WHEN strpos('0123456789abcdef', "
+    "substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8 "
+    "THEN 1.0 ELSE -1.0 END))"
+)
+
+
+@register(
+    "q_ann_lsh_buckets",
+    oracle=f"""
+    WITH planes AS (SELECT {_PLANES_DUCK} AS pl),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    hashed AS (
+      SELECT vec_id,
+             LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {N_PLANES}), j ->
+               CASE WHEN LIST_DOT_PRODUCT(pl[j], v) > 0
+                    THEN 1 << (j - 1) ELSE 0 END))::BIGINT AS bucket
+      FROM e CROSS JOIN planes
+    )
+    SELECT bucket, COUNT(*) AS n_vectors
+    FROM hashed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket assignment (the ANN scale path): 8 md5-derived
+    hyperplanes → 256 buckets; output the bucket histogram.
+
+    Scale: bucket id is the partition key for an IVF-style layout —
+    writing the corpus partitioned by bucket makes a query read ~1/256
+    of the data; the histogram here is the skew diagnostic for that
+    layout."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    bucket = F.expr(
+        f"aggregate(transform(sequence(1, {N_PLANES}), j -> "
+        f"case when aggregate(zip_with(element_at({_PLANES_SPARK}, j), v, "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0 "
+        "then shiftleft(1L, j - 1) else 0L end), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        emb.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COS_DUCK.format(a='a.v', b='b.v')}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_DUCK.format(a='a.v', b='b.v')} >= 0.45
+    ORDER BY vec_a, vec_b
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs verification
+    tier — at scale only run on LSH/IVF candidate buckets; see
+    q_ann_lsh_buckets for the pruning layer)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    cos = _cosine("va", "vb")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.45)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "q_embedding_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT label, i AS dim,
+           CAST(SUM(CAST(v[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid,
+           COUNT(*) AS n
+    FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i)
+    GROUP BY label, i
+    HAVING i <= 4
+    ORDER BY label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column (the k-means /IVF
+    training step shape): posexplode + grouped exact-decimal mean;
+    first 4 dimensions emitted for the oracle check.
+
+    Scale: the (label, dim) grouping key is perfectly uniform; the
+    shuffle is |labels|×|dims| rows regardless of corpus size."""
+    emb = table(spark, sf_dir, "embeddings").select("label", _vec_double().alias("v"))
+    return (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .select("label", (F.col("pos") + 1).alias("dim"), "x")
+        .groupBy("label", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,6)")).cast("double") / F.count("*")
+            ).alias("centroid"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("dim") <= 4)
+        .orderBy("label", "dim")
+    )
