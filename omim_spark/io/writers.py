@@ -1,0 +1,127 @@
+"""Sinks (SURVEY §2.1 S9-S13): deterministic Turtle serializer, ROBOT
+two-row-header templates, review TSV.
+
+Determinism contract (SURVEY §7.4): the reference's outputs are
+diffed across weekly releases, so every sink imposes a total order —
+triples sort by (subject kind, subject, predicate, object); report
+rows sort by their natural keys.  Blank-node ids are already
+deterministic md5 (triples.py), so two runs — or two differently
+partitioned cluster executions — produce byte-identical files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from omim_spark.curies import NAMESPACES
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+def _pred_order():
+    """Predicate ordering inside a subject block: rdf:type first
+    (Turtle idiom), then alphabetical."""
+    return F.when(F.col("predicate") == "rdf:type", F.lit("0")).otherwise(F.lit("1"))
+
+
+def _escape_literal(col):
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    out = F.replace(out, F.lit("\t"), F.lit("\\t"))
+    return out
+
+
+def _term(subject_like, kind_col, datatype_col=None):
+    """Render a term: bnode → _:id, literal → quoted+escaped(+^^dt),
+    everything else → CURIE as-is."""
+    lit_rendered = F.concat(F.lit('"'), _escape_literal(subject_like), F.lit('"'))
+    if datatype_col is not None:
+        lit_rendered = F.when(
+            datatype_col.isNotNull(),
+            F.concat(lit_rendered, F.lit("^^"), datatype_col),
+        ).otherwise(lit_rendered)
+    return (
+        F.when(kind_col == "bnode", F.concat(F.lit("_:"), subject_like))
+        .when(kind_col == "literal", lit_rendered)
+        .otherwise(subject_like)
+    )
+
+
+def ttl_lines(triples: DataFrame) -> DataFrame:
+    """Triples → one formatted DataFrame of (sort_key, line) rows:
+    prefix header + one `s p o .` statement per triple, totally
+    ordered.  Statement-per-line (N-Triples-style body with CURIEs)
+    keeps the serializer a pure projection — no driver loops, no
+    per-subject state — while remaining valid Turtle."""
+    # Subjects that are bnode objects elsewhere are bnode subjects here
+    # (restriction/axiom nodes): detect by md5 shape (32 hex chars).
+    subj_is_bnode = F.col("subject").rlike("^[0-9a-f]{32}$")
+    subj = F.when(
+        subj_is_bnode, F.concat(F.lit("_:"), F.col("subject"))
+    ).otherwise(F.col("subject"))
+    obj = _term(F.col("object"), F.col("obj_kind"), F.col("datatype"))
+    line = F.concat_ws(" ", subj, F.col("predicate"), obj, F.lit("."))
+    body = triples.distinct().select(
+        F.concat_ws(
+            "\x00",
+            F.when(subj_is_bnode, "1").otherwise("0"),
+            F.col("subject"),
+            _pred_order(),
+            F.col("predicate"),
+            F.col("object"),
+        ).alias("sort_key"),
+        line.alias("line"),
+    )
+    return body
+
+
+def write_ttl(triples: DataFrame, path: str) -> None:
+    """Serialize to a single Turtle file (coalesce(1) — the output is
+    a curated-ontology artifact, small by construction even when the
+    inputs are huge; the sort is distributed, only the final write is
+    single-stream)."""
+    header = [f"@prefix {p}: <{uri}> ." for p, uri in sorted(NAMESPACES.items())]
+    header.append(f"@prefix xsd: <{_XSD}> .")
+    header.append(f"@prefix obo: <http://purl.obolibrary.org/obo/> .")
+    header.append(
+        "@prefix NCBITaxon: <http://purl.obolibrary.org/obo/NCBITaxon_> ."
+    )
+    body = ttl_lines(triples).orderBy("sort_key").select("line")
+    lines = [r.line for r in body.collect()]
+    with open(path, "w") as f:
+        f.write("\n".join(header) + "\n\n")
+        f.write("\n".join(lines) + "\n")
+
+
+def write_tsv(
+    df: DataFrame, path: str, order_by: list[str], subheader: list[str] | None = None
+) -> None:
+    """Ordered single-file TSV (S10/S11): optional ROBOT directive
+    second row (reference main.py:512-519,
+    mondo_omim_genes_robot_tsv.py:11-41)."""
+    cols = df.columns
+    rows = df.orderBy(*order_by).collect()
+    with open(path, "w") as f:
+        f.write("\t".join(cols) + "\n")
+        if subheader is not None:
+            f.write("\t".join(subheader) + "\n")
+        for r in rows:
+            f.write(
+                "\t".join("" if v is None else str(v) for v in r) + "\n"
+            )
+
+
+def write_parquet_sorted(df: DataFrame, path: str, order_by: list[str]) -> None:
+    """Cache/report sink for big outputs: distributed parquet write,
+    sorted within partitions for scan locality."""
+    df.repartition(1).sortWithinPartitions(*order_by).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ensure_dir(path: str) -> None:
+    os.makedirs(path, exist_ok=True)

@@ -1,0 +1,289 @@
+"""End-to-end build pipeline (SURVEY §3.1): source TSVs → triples
+DataFrame + report DataFrames — the Spark equivalent of
+`python -m omim2obo` (reference omim2obo/main.py:227-528).
+
+The whole build is ONE logical plan per sink: scans → parse
+projections → broadcast-joined overlays → window-counted decision
+table → union of ~20 triple emitters.  Stage boundaries appear only
+at the A1/A2 groupBys and the p_mim window — exactly where the
+reference materializes dict indexes (SURVEY §3.1 note).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from omim_spark import associations as assoc_mod
+from omim_spark import parse, schemas, triples as T
+from omim_spark.entries import transform_entries
+from omim_spark.io import readers
+from omim_spark.queries import (
+    add_flipped_mondo_mappings,
+    add_hgnc_links,
+    disease_gene_relationships,
+    mondo_omim_genes,
+    pmid_mentions,
+)
+
+
+@dataclass
+class BuildResult:
+    triples: DataFrame
+    review_cases: DataFrame
+    susceptibility: DataFrame
+    decided: DataFrame
+    reports: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def load_known_capitalizations(spark: SparkSession, path: str) -> dict[str, str]:
+    if not os.path.exists(path):
+        return {}
+    df = readers.read_curator_tsv(spark, path, schemas.KNOWN_CAPITALIZATIONS)
+    return {
+        r["lower_name"]: r["cap_name"]
+        for r in df.collect()
+        if r["lower_name"] is not None
+    }
+
+
+def load_omim_to_mondo(spark: SparkSession, path: str) -> DataFrame:
+    """S5: SSSOM → (omim_mim, mondo_id), either orientation
+    (reference main.py:87-109)."""
+    raw = readers.read_sssom(spark, path)
+    subj_is_omim = F.col("subject_id").startswith("OMIM:")
+    obj_is_omim = F.col("object_id").startswith("OMIM:")
+    oriented = raw.filter(subj_is_omim | obj_is_omim).select(
+        F.when(subj_is_omim, F.col("subject_id"))
+        .otherwise(F.col("object_id"))
+        .alias("omim"),
+        F.when(subj_is_omim, F.col("object_id"))
+        .otherwise(F.col("subject_id"))
+        .alias("mondo"),
+    )
+    return (
+        oriented.filter(F.col("mondo").startswith("MONDO:"))
+        .select(
+            F.substring_index("omim", ":", -1).alias("omim_mim"),
+            F.col("mondo").alias("mondo_id"),
+        )
+        .distinct()
+    )
+
+
+def build_graph(
+    spark: SparkSession, data_dir: str, version_date: str = "1970-01-01"
+) -> BuildResult:
+    """Build the full triples graph + reports from a directory holding
+    mimTitles.txt, morbidmap.txt, mim2gene.txt, genemap2.txt,
+    phenotypicSeries.txt, hgnc_complete_set.txt,
+    mondo_exactmatch_omim.sssom.tsv, protected-disease-gene.tsv,
+    exclusions-disease-gene.tsv, known_capitalizations.tsv, and
+    optionally pubmed-refs.tsv / mappings.tsv caches.
+
+    ``version_date`` is an explicit parameter — the single permitted
+    source of non-input state (SURVEY §7.4 determinism rule; the
+    reference stamps datetime.now(), main.py:254-257).
+    """
+    p = lambda name: os.path.join(data_dir, name)  # noqa: E731
+
+    # --- Parse sources -----------------------------------------------------
+    mim_titles = parse.parse_mim_titles(
+        readers.read_mim_titles(spark, p("mimTitles.txt"))
+    )
+    caps = load_known_capitalizations(spark, p("known_capitalizations.tsv"))
+    entries = transform_entries(mim_titles, caps)
+
+    assocs = parse.parse_morbid_map(
+        readers.read_morbidmap(spark, p("morbidmap.txt"))
+    )
+    mim2gene_raw = readers.read_mim2gene(spark, p("mim2gene.txt"))
+    gene_map, pheno_map = parse.parse_mim2gene(mim2gene_raw)
+    genemap2 = (
+        readers.read_genemap2(spark, p("genemap2.txt"))
+        if os.path.exists(p("genemap2.txt"))
+        else None
+    )
+    hgnc_symbol_map = (
+        parse.reconcile_hgnc_symbol_maps(mim2gene_raw, genemap2)
+        if genemap2 is not None
+        else mim2gene_raw.filter(
+            F.col("hgnc_symbol").isNotNull() & (F.col("hgnc_symbol") != "")
+        ).select(F.col("mim_number").alias("mim"), "hgnc_symbol")
+    )
+    hgnc_ids = parse.hgnc_symbol_id_map(
+        readers.read_hgnc(spark, p("hgnc_complete_set.txt"))
+    )
+    series, members = parse.parse_phenotypic_series(
+        readers.read_phenotypic_series(spark, p("phenotypicSeries.txt"))
+    )
+    omim_to_mondo = load_omim_to_mondo(spark, p("mondo_exactmatch_omim.sssom.tsv"))
+
+    protected = readers.read_curator_tsv(
+        spark, p("protected-disease-gene.tsv"), schemas.PROTECTED_D2G
+    ).select(
+        F.substring_index("phenotype_mim", ":", -1).alias("p_mim"),
+        F.substring_index("gene_mim", ":", -1).alias("gene_mim"),
+        F.substring_index("hgnc_id", ":", -1).alias("hgnc_id"),
+        F.col("orcid"),
+        F.col("mondo_id"),
+    )
+    exclusions = readers.read_curator_tsv(
+        spark, p("exclusions-disease-gene.tsv"), schemas.EXCLUSIONS_D2G
+    ).select(
+        F.substring_index("omim_id", ":", -1).alias("p_mim"), F.col("orcid")
+    )
+
+    # --- Decision table ----------------------------------------------------
+    decided = assoc_mod.derive_associations(assocs, exclusions, protected)
+    decided.cache()  # feeds three sinks (triples, review, robot tsv)
+
+    # --- Triple emission ---------------------------------------------------
+    parts: list[DataFrame] = [
+        T.ontology_header(spark, version_date),
+        T.emit_entry_classes(entries),
+    ]
+
+    # Gene ids: OMIM gene → NCBIGENE exactMatch; phenotype → RO:0002200
+    # has-phenotype restriction (reference main.py:385-394)
+    parts.append(
+        T.emit_exact_match(
+            gene_map, "mim_number", F.concat(F.lit("NCBIGENE:"), F.col("entrez_id"))
+        )
+    )
+    parts.append(
+        T.emit_subclassof_restriction(
+            pheno_map,
+            F.lit("RO:0002200"),
+            F.concat(F.lit("OMIM:"), F.col("mim_number")),
+            F.concat(F.lit("NCBIGENE:"), F.col("entrez_id")),
+        )
+    )
+    # HGNC symbol + id matches (main.py:390-394)
+    parts.append(
+        T.emit_exact_match(
+            hgnc_symbol_map, "mim", F.concat(F.lit("HGNC_symbol:"), F.col("hgnc_symbol"))
+        )
+    )
+    with_ids = hgnc_symbol_map.join(
+        F.broadcast(hgnc_ids), hgnc_symbol_map.hgnc_symbol == hgnc_ids.symbol
+    )
+    parts.append(
+        T.emit_exact_match(
+            with_ids, "mim", F.concat(F.lit("HGNC:"), F.col("hgnc_id"))
+        )
+    )
+
+    # Phenotypic series (main.py:396-404)
+    parts.append(T.emit_phenotypic_series(series, members))
+
+    # Gene-chromosome restrictions (main.py:407-415): first-wins cyto
+    gene_cyto = parse.gene_phenotypes(assocs).filter(
+        F.col("cyto_location").isNotNull() & (F.col("cyto_location") != "")
+    )
+    parts.append(
+        T.emit_subclassof_restriction(
+            gene_cyto,
+            F.lit("RO:0002525"),  # is subsequence of
+            F.concat(F.lit("CHR:9606chr"), F.col("cyto_location")),
+            F.concat(F.lit("OMIM:"), F.col("gene_mim")),
+        )
+    )
+
+    # Associations
+    causal = decided.filter(
+        F.col("action").isin(assoc_mod.ACT_CAUSAL, assoc_mod.ACT_PROTECTED)
+    )
+    parts.append(T.emit_gene_disease_associations(causal))
+    prot_match = decided.filter(
+        (F.col("action") == assoc_mod.ACT_PROTECTED) & F.col("hgnc_id").isNotNull()
+    )
+    parts.append(
+        T.emit_exact_match(
+            prot_match, "gene_mim", F.concat(F.lit("HGNC:"), F.col("hgnc_id"))
+        )
+    )
+    noncausal = decided.filter(F.col("action") == assoc_mod.ACT_NONCAUSAL)
+    parts.append(
+        T.emit_restriction_with_evidence(
+            noncausal,
+            F.col("predicate"),
+            F.concat(F.lit("OMIM:"), F.col("p_mim")),
+            F.concat(F.lit("OMIM:"), F.col("gene_mim")),
+            F.col("evidence"),
+            F.col("orcid"),
+        )
+    )
+
+    # Protected MONDO mappings (main.py:490-497)
+    parts.append(
+        T.emit_exact_match(
+            protected.filter(F.col("mondo_id").isNotNull()),
+            "p_mim",
+            F.col("mondo_id"),
+        )
+    )
+
+    # PubMed / UMLS / Orphanet links from caches (main.py:500-509)
+    pubmed_path, mappings_path = p("pubmed-refs.tsv"), p("mappings.tsv")
+    if os.path.exists(pubmed_path):
+        pubmed = readers.read_cache_tsv(spark, pubmed_path, schemas.PUBMED_REFS_CACHE)
+        parts.append(
+            T.emit_packed_id_links(pubmed, "mim", "pmid_refs", "IAO:0000142", "PMID:")
+        )
+    if os.path.exists(mappings_path):
+        mappings = readers.read_cache_tsv(spark, mappings_path, schemas.MAPPINGS_CACHE)
+        parts.append(
+            T.emit_packed_id_links(
+                mappings, "mim", "umls_ids", "skos:exactMatch", "UMLS:"
+            )
+        )
+        parts.append(
+            T.emit_packed_id_links(
+                mappings, "mim", "orphanet_ids", "skos:exactMatch", "ORPHANET:"
+            )
+        )
+
+    all_triples = T.union_triples(*parts).distinct()
+
+    # --- Merged graph (the reference's `make omim.owl` stage:
+    # ROBOT merge of omim.ttl + SSSOM mapping OWL, then the two SPARQL
+    # INSERT rewrites — makefile:61-66) -------------------------------------
+    sssom_triples = omim_to_mondo.select(
+        F.concat(F.lit("OMIM:"), F.col("omim_mim")).alias("subject"),
+        F.lit("skos:exactMatch").alias("predicate"),
+        F.col("mondo_id").alias("object"),
+        F.lit("uri").alias("obj_kind"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+    # Materialize between stages: the rewrites self-join the graph, so
+    # feeding them the raw ~20-way-union plan would replan the whole
+    # build per pattern leg (plan-depth blowup).  localCheckpoint cuts
+    # the lineage — the graph is the natural pipeline breaker here,
+    # same role as the reference's serialized omim.ttl between make
+    # stages.
+    all_triples = all_triples.localCheckpoint(eager=True)
+    merged = T.union_triples(all_triples, sssom_triples).distinct()
+    merged = T.union_triples(merged, add_flipped_mondo_mappings(merged))
+    merged = T.union_triples(merged, add_hgnc_links(merged)).distinct()
+    merged = merged.localCheckpoint(eager=True)
+
+    # --- Reports -----------------------------------------------------------
+    omim_types = mim_titles.select("mim_number", "omim_type")
+    review = assoc_mod.review_cases(decided, assocs, omim_types)
+    susceptibility = assoc_mod.susceptibility_rows(assocs, omim_to_mondo)
+
+    return BuildResult(
+        triples=all_triples,
+        review_cases=review,
+        susceptibility=susceptibility,
+        decided=decided,
+        reports={
+            "disease_gene_relationships": disease_gene_relationships(merged),
+            "mondo_omim_genes": mondo_omim_genes(merged),
+            "pmid_mentions": pmid_mentions(all_triples),
+        },
+    )

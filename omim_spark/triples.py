@@ -1,0 +1,424 @@
+"""Triple emission (SURVEY §2.10 G1-G8): the reference's in-memory
+rdflib graph (omim2obo/main.py:202-213) becomes ONE triples DataFrame
+— (subject, predicate, object, obj_kind, datatype) — built as a
+unionByName of select-projections, one per emitter.
+
+Blank nodes are deterministic md5 ids (reference DeterministicBNode,
+main.py:178-186): a restriction's id hashes (on|pred|someValuesFrom),
+an axiom's id hashes (source|prop|target) — so re-runs and distributed
+builds are reproducible and diffable, and identical logical nodes
+dedupe instead of multiplying (the reference's random BNode() creates
+a fresh node per call; md5 identity is the Spark-native, idempotent
+equivalent).
+
+Scale: every emitter is a pure projection (explode of a literal
+struct array) — no shuffles until the final distinct/sort in the
+writer.  At 100 TB of input the triples DF stays partition-parallel
+end to end.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+URI, BNODE, LIT = "uri", "bnode", "literal"
+
+_FIELDS = ["subject", "predicate", "object", "obj_kind", "datatype"]
+
+
+def _t(s: Column, p, o, kind: str = URI, dt=None) -> Column:
+    """One triple as a struct (for array-explode emission)."""
+    p = F.lit(p) if isinstance(p, str) else p
+    o = F.lit(o) if isinstance(o, str) else o
+    return F.struct(
+        s.alias("subject"),
+        p.alias("predicate"),
+        o.cast("string").alias("object"),
+        F.lit(kind).alias("obj_kind"),
+        (F.lit(dt) if dt else F.lit(None).cast("string")).alias("datatype"),
+    )
+
+
+def _emit(df: DataFrame, *triples: Column) -> DataFrame:
+    """Explode a per-row batch of (possibly conditional) triples;
+    null-subject entries (failed WHEN gates) are dropped."""
+    return (
+        df.select(F.explode(F.array(*triples)).alias("t"))
+        .select([F.col(f"t.{f}").alias(f) for f in _FIELDS])
+        .filter(F.col("subject").isNotNull() & F.col("object").isNotNull())
+    )
+
+
+def union_triples(*parts: DataFrame) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def bnode_restriction(on: Column, pred: Column, svf: Column) -> Column:
+    return F.md5(F.concat_ws("|", F.lit("restriction"), on, pred, svf))
+
+
+def bnode_axiom(source: Column, prop: Column, target: Column) -> Column:
+    return F.md5(F.concat_ws("|", F.lit("axiom"), source, prop, target))
+
+
+# ---------------------------------------------------------------------------
+# G1/G2: reified axiom annotations
+# ---------------------------------------------------------------------------
+
+
+def emit_axiom_annotations(
+    df: DataFrame,
+    source: Column,
+    prop: Column,
+    target: Column,
+    target_kind: str,
+    anno_pred_vals: list[tuple[str, Column, str]],
+) -> DataFrame:
+    """OWL reification (reference add_axiom_annotations main.py:120-134):
+    bnode Axiom + annotatedSource/Property/Target + annotation pairs.
+    ``anno_pred_vals``: (predicate curie, value column, value kind)."""
+    ax = bnode_axiom(source, prop, target)
+    triples = [
+        _t(ax, "rdf:type", "owl:Axiom"),
+        _t(ax, "owl:annotatedSource", source),
+        _t(ax, "owl:annotatedProperty", prop),
+        _t(ax, "owl:annotatedTarget", target, target_kind),
+    ]
+    triples += [_t(ax, p, v, kind) for p, v, kind in anno_pred_vals]
+    return _emit(df, *triples)
+
+
+# ---------------------------------------------------------------------------
+# G3/G4: subClassOf someValuesFrom restrictions (+ evidence axioms)
+# ---------------------------------------------------------------------------
+
+
+def emit_subclassof_restriction(
+    df: DataFrame, pred: Column, svf: Column, on: Column
+) -> DataFrame:
+    """bnode Restriction(onProperty, someValuesFrom) + rdfs:subClassOf
+    (reference add_subclassof_restriction main.py:149-156)."""
+    b = bnode_restriction(on, pred, svf)
+    return _emit(
+        df,
+        _t(b, "rdf:type", "owl:Restriction"),
+        _t(b, "owl:onProperty", pred),
+        _t(b, "owl:someValuesFrom", svf),
+        _t(on, "rdfs:subClassOf", b, BNODE),
+    )
+
+
+def emit_restriction_with_evidence(
+    df: DataFrame,
+    pred: Column,
+    svf: Column,
+    on: Column,
+    evidence: Column,
+    orcid: Column | None = None,
+) -> DataFrame:
+    """G4 (reference main.py:159-174): restriction + evidence axiom
+    (biolink:has_evidence + rdfs:comment, optional oboInOwl:source)."""
+    b = bnode_restriction(on, pred, svf)
+    base = emit_subclassof_restriction(df, pred, svf, on)
+    annos = [
+        ("biolink:has_evidence", evidence, LIT),
+        ("rdfs:comment", evidence, LIT),
+    ]
+    ax = emit_axiom_annotations(
+        df, on, F.lit("rdfs:subClassOf"), b, BNODE, annos
+    )
+    parts = [base, ax]
+    if orcid is not None:
+        ax_src = _emit(
+            df.filter(orcid.isNotNull()),
+            _t(
+                bnode_axiom(on, F.lit("rdfs:subClassOf"), b),
+                "oboInOwl:source",
+                orcid,
+            ),
+        )
+        parts.append(ax_src)
+    return union_triples(*parts)
+
+
+# ---------------------------------------------------------------------------
+# G5: bidirectional gene↔disease associations
+# ---------------------------------------------------------------------------
+
+
+def emit_gene_disease_associations(df: DataFrame) -> DataFrame:
+    """Disease –RO:0004003→ gene and gene –RO:0004013→ disease, each
+    with an evidence axiom (reference main.py:189-199).  ``df`` needs
+    columns: gene_mim, p_mim, evidence, orcid (nullable)."""
+    gene = F.concat(F.lit("OMIM:"), F.col("gene_mim"))
+    dis = F.concat(F.lit("OMIM:"), F.col("p_mim"))
+    orcid = F.col("orcid")
+    d2g = emit_restriction_with_evidence(
+        df, F.lit("RO:0004003"), gene, dis, F.col("evidence"), orcid
+    )
+    g2d = emit_restriction_with_evidence(
+        df, F.lit("RO:0004013"), dis, gene, F.col("evidence"), orcid
+    )
+    return union_triples(d2g, g2d)
+
+
+# ---------------------------------------------------------------------------
+# Ontology header (reference main.py:252-268)
+# ---------------------------------------------------------------------------
+
+
+def ontology_header(spark, version_date: str) -> DataFrame:
+    onto = "obo:mondo/omim.owl"
+    rows = [
+        (onto, "rdf:type", "owl:Ontology", URI, None),
+        (onto, "owl:versionIRI", f"obo:mondo/releases/{version_date}/omim.owl", URI, None),
+        (onto, "owl:versionInfo", version_date, LIT, None),
+        ("oboInOwl:hasSynonymType", "rdf:type", "owl:AnnotationProperty", URI, None),
+        ("oboInOwl:source", "rdf:type", "owl:AnnotationProperty", URI, None),
+        ("mondo:omim_included", "rdf:type", "owl:AnnotationProperty", URI, None),
+        ("OMO:0003000", "rdf:type", "owl:AnnotationProperty", URI, None),
+        ("biolink:has_evidence", "rdf:type", "owl:AnnotationProperty", URI, None),
+        ("NCBITaxon:9606", "rdf:type", "owl:Class", URI, None),
+        ("NCBITaxon:9606", "rdfs:label", "Homo sapiens", LIT, None),
+    ]
+    from omim_spark.schemas import TRIPLES
+
+    return spark.createDataFrame(rows, TRIPLES)
+
+
+# ---------------------------------------------------------------------------
+# G6: per-entry class emission (reference main.py:270-374)
+# ---------------------------------------------------------------------------
+
+
+def emit_entry_classes(entries: DataFrame) -> DataFrame:
+    """Type-conditional per-entry triples.  ``entries`` is the output
+    of entries.transform_entries: mim_number, omim_type, replaced_by,
+    pref_title, pref_symbols, alt_titles, alt_symbols,
+    former_alt_titles, former_alt_symbols, included_titles,
+    included_symbols, former_included_titles, former_included_symbols.
+    """
+    uri = F.concat(F.lit("OMIM:"), F.col("mim_number"))
+    is_obsolete = F.col("omim_type") == "OBSOLETE"
+    is_gene = F.col("omim_type").isin("GENE", "HAS_AFFECTED_FEATURE")
+    is_pheno = F.col("omim_type").isin("PHENOTYPE", "HERITABLE_PHENOTYPIC_MARKER")
+    n_replaced = F.size(F.coalesce(F.col("replaced_by"), F.array()))
+    has_included = (
+        F.size(F.coalesce(F.col("included_titles"), F.array()))
+        + F.size(F.coalesce(F.col("included_symbols"), F.array()))
+    ) > 0
+    label = F.when(
+        is_gene & (F.size(F.coalesce(F.col("pref_symbols"), F.array())) > 0),
+        F.element_at(F.col("pref_symbols"), 1),
+    ).otherwise(F.col("pref_title"))
+
+    core = _emit(
+        entries,
+        _t(uri, "rdf:type", "owl:Class"),
+        F.when(is_obsolete, _t(uri, "owl:deprecated", "true", LIT, "xsd:boolean")),
+        # IAO:0100001 = 'term replaced by' (single replacement only)
+        F.when(
+            is_obsolete & (n_replaced == 1),
+            _t(
+                uri,
+                "IAO:0100001",
+                F.concat(F.lit("OMIM:"), F.element_at(F.col("replaced_by"), 1)),
+            ),
+        ),
+        # Non-obsolete, type-conditional categorization
+        F.when(
+            ~is_obsolete & is_pheno,
+            _t(uri, "biolink:category", "biolink:Disease"),
+        ),
+        F.when(~is_obsolete & is_gene, _t(uri, "rdfs:subClassOf", "SO:0000704")),
+        F.when(
+            ~is_obsolete & is_gene,
+            _t(uri, "mondo:exclusionReason", "mondo:nonDisease"),
+        ),
+        F.when(~is_obsolete & is_gene, _t(uri, "biolink:category", "biolink:Gene")),
+        F.when(
+            ~is_obsolete & (F.col("omim_type") == "SUSPECTED"),
+            _t(uri, "mondo:exclusionReason", "mondo:excludeTrait"),
+        ),
+        F.when(~is_obsolete, _t(uri, "rdfs:label", label, LIT)),
+        F.when(~is_obsolete, _t(uri, "oboInOwl:hasExactSynonym", F.col("pref_title"), LIT)),
+        F.when(
+            ~is_obsolete & has_included,
+            _t(
+                uri,
+                "rdfs:comment",
+                "This term has one or more labels that end with ', INCLUDED'.",
+                LIT,
+            ),
+        ),
+    )
+
+    # 'consider' list for multi-replacement obsoletes
+    consider = (
+        entries.filter(is_obsolete & (n_replaced > 1))
+        .select(uri.alias("s"), F.explode("replaced_by").alias("rep"))
+        .select(
+            F.col("s").alias("subject"),
+            F.lit("oboInOwl:consider").alias("predicate"),
+            F.concat(F.lit("OMIM:"), F.col("rep")).alias("object"),
+            F.lit(URI).alias("obj_kind"),
+            F.lit(None).cast("string").alias("datatype"),
+        )
+    )
+
+    live = entries.filter(~is_obsolete)
+
+    def _explode_literal(col: str, pred: str) -> DataFrame:
+        return (
+            live.select(uri.alias("s"), F.explode(F.coalesce(F.col(col), F.array())).alias("v"))
+            .select(
+                F.col("s").alias("subject"),
+                F.lit(pred).alias("predicate"),
+                F.col("v").alias("object"),
+                F.lit(LIT).alias("obj_kind"),
+                F.lit(None).cast("string").alias("datatype"),
+            )
+        )
+
+    alt_syn = _explode_literal("alt_titles", "oboInOwl:hasExactSynonym")
+    included_t = _explode_literal("included_titles", "mondo:omim_included")
+    included_s = _explode_literal("included_symbols", "mondo:omim_included")
+
+    # Abbreviation synonyms carry an OMO:0003000 axiom annotation
+    def _abbrev_syns(col: str) -> DataFrame:
+        base = live.select(
+            uri.alias("s"), F.explode(F.coalesce(F.col(col), F.array())).alias("v")
+        )
+        syn = base.select(
+            F.col("s").alias("subject"),
+            F.lit("oboInOwl:hasExactSynonym").alias("predicate"),
+            F.col("v").alias("object"),
+            F.lit(LIT).alias("obj_kind"),
+            F.lit(None).cast("string").alias("datatype"),
+        )
+        ax = emit_axiom_annotations(
+            base,
+            F.col("s"),
+            F.lit("oboInOwl:hasExactSynonym"),
+            F.col("v"),
+            LIT,
+            [("oboInOwl:hasSynonymType", F.lit("OMO:0003000"), URI)],
+        )
+        return syn.unionByName(ax)
+
+    pref_abbrevs = _abbrev_syns("pref_symbols")
+    alt_abbrevs = _abbrev_syns("alt_symbols")
+
+    # Former (deprecated) titles/symbols → related synonyms w/ axioms
+    def _former(col: str, extra: list[tuple[str, Column, str]]) -> DataFrame:
+        base = live.select(
+            uri.alias("s"), F.explode(F.coalesce(F.col(col), F.array())).alias("v")
+        )
+        syn = base.select(
+            F.col("s").alias("subject"),
+            F.lit("oboInOwl:hasRelatedSynonym").alias("predicate"),
+            F.col("v").alias("object"),
+            F.lit(LIT).alias("obj_kind"),
+            F.lit(None).cast("string").alias("datatype"),
+        )
+        ax = emit_axiom_annotations(
+            base,
+            F.col("s"),
+            F.lit("oboInOwl:hasRelatedSynonym"),
+            F.col("v"),
+            LIT,
+            [("owl:deprecated", F.lit("true"), LIT)] + extra,
+        )
+        return syn.unionByName(ax)
+
+    former_titles = _former("former_alt_titles", [])
+    former_syms = _former(
+        "former_alt_symbols", [("oboInOwl:hasSynonymType", F.lit("OMO:0003000"), URI)]
+    )
+
+    def _former_included(col: str) -> DataFrame:
+        base = live.select(
+            uri.alias("s"), F.explode(F.coalesce(F.col(col), F.array())).alias("v")
+        )
+        syn = base.select(
+            F.col("s").alias("subject"),
+            F.lit("mondo:omim_included").alias("predicate"),
+            F.col("v").alias("object"),
+            F.lit(LIT).alias("obj_kind"),
+            F.lit(None).cast("string").alias("datatype"),
+        )
+        ax = emit_axiom_annotations(
+            base,
+            F.col("s"),
+            F.lit("mondo:omim_included"),
+            F.col("v"),
+            LIT,
+            [("owl:deprecated", F.lit("true"), LIT)],
+        )
+        return syn.unionByName(ax)
+
+    former_inc_t = _former_included("former_included_titles")
+    former_inc_s = _former_included("former_included_symbols")
+
+    return union_triples(
+        core, consider, alt_syn, included_t, included_s, pref_abbrevs,
+        alt_abbrevs, former_titles, former_syms, former_inc_t, former_inc_s,
+    )
+
+
+# ---------------------------------------------------------------------------
+# G7: cross-references (reference main.py:376-394, 490-509)
+# ---------------------------------------------------------------------------
+
+
+def emit_exact_match(df: DataFrame, mim_col: str, obj: Column) -> DataFrame:
+    return _emit(
+        df, _t(F.concat(F.lit("OMIM:"), F.col(mim_col)), "skos:exactMatch", obj)
+    )
+
+
+def emit_packed_id_links(
+    df: DataFrame, mim_col: str, packed_col: str, pred: str, obj_prefix: str
+) -> DataFrame:
+    """'|'-packed id cells → one triple per id (T11 unpack —
+    reference main.py:500-509)."""
+    exploded = df.filter(
+        F.col(packed_col).isNotNull() & (F.col(packed_col) != "")
+    ).select(
+        F.concat(F.lit("OMIM:"), F.col(mim_col)).alias("s"),
+        F.explode(F.split(F.col(packed_col), r"\|")).alias("id"),
+    ).filter(F.col("id") != "")
+    return exploded.select(
+        F.col("s").alias("subject"),
+        F.lit(pred).alias("predicate"),
+        F.concat(F.lit(obj_prefix), F.col("id")).alias("object"),
+        F.lit(URI).alias("obj_kind"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G8: phenotypic series (reference main.py:396-404)
+# ---------------------------------------------------------------------------
+
+
+def emit_phenotypic_series(series: DataFrame, members: DataFrame) -> DataFrame:
+    ps_uri = F.concat(F.lit("OMIMPS:"), F.col("ps"))
+    head = _emit(
+        series,
+        _t(ps_uri, "rdf:type", "owl:Class"),
+        _t(ps_uri, "rdfs:label", F.col("title"), LIT),
+        _t(ps_uri, "biolink:category", "biolink:Disease"),
+    )
+    membership = _emit(
+        members,
+        _t(
+            F.concat(F.lit("OMIM:"), F.col("member_mim")),
+            "rdfs:subClassOf",
+            ps_uri,
+        ),
+    )
+    return union_triples(head, membership)

