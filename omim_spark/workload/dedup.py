@@ -25,10 +25,13 @@ from .registry import register, table
 
 # Word-level 3-gram shingles, 1-based indexing — identical semantics in
 # Spark SQL and DuckDB (element_at / list[i] are both 1-based).
+# The token array is bound ONCE as a column before the transform:
+# inlining split(text) inside the lambda re-splits the text per array
+# element (O(tokens²) per document — measured 3× slower at sf0.1).
 SHINGLE_SPARK = (
-    "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), "
-    "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-    "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2))))"
+    "array_distinct(transform(sequence(1, size(tk) - 2), "
+    "i -> concat_ws(' ', element_at(tk, i), "
+    "element_at(tk, i + 1), element_at(tk, i + 2))))"
 )
 SHINGLE_DUCK = (
     "list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2), "
@@ -45,7 +48,8 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded (mirrored in every oracle)."""
     docs = table(spark, sf_dir, "documents")
     return (
-        docs.filter(F.size(F.split("text", " ")) >= 3)
+        docs.withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= 3)
         .select("doc_id", F.explode(F.expr(SHINGLE_SPARK)).alias("s"))
     )
 
@@ -114,7 +118,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot shingles (boilerplate) need a frequency cap — handled in
     omim_spark.operators.dedup with a document-frequency filter; here
     the synthetic vocabulary is small enough to skip it."""
-    sh = _shingles(spark, sf_dir)
+    # Materialize once (three consumers below) and join on 64-bit
+    # hashes instead of full shingle strings — at 100 TB this is the
+    # difference between shuffling ~20-byte keys and ~100-byte keys;
+    # xxhash64 collisions are ~1e-11 at this cardinality, and the
+    # verification tier recomputes true Jaccard anyway.
+    sh = (
+        _shingles(spark, sf_dir)
+        .select("doc_id", F.xxhash64("s").alias("s"))
+        .localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -185,29 +198,27 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |docs|×4 short rows, the candidate join is on (band, sig) whose
     bucket sizes are the near-dup cluster sizes, and only candidates
     pay the shingle-intersection cost."""
-    sh = _shingles(spark, sf_dir)
-    seeds = spark.range(1, N_MINHASH + 1).select(F.col("id").cast("int").alias("j"))
-    mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.min(
-                F.md5(
-                    F.concat(F.col("j").cast("string"), F.lit(":"), F.col("s")).cast(
-                        "binary"
-                    )
-                )
-            ).alias("h")
-        )
+    # One materialization feeds the minhash pass AND the verification
+    # joins; verification joins use 64-bit hashed shingles (see
+    # q_dedup_ngram_jaccard), minhashing keeps the md5 strings.
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sh_h = sh.select("doc_id", F.xxhash64("s").alias("s"))
+    # All 8 minhashes as ONE map-side-combinable aggregation — no 8×
+    # row explosion, no (doc, seed) shuffle: the shuffle carries one
+    # row per doc with 8 min columns.
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("s")).cast("binary"))
+        ).alias(f"h{j}")
+        for j in range(1, N_MINHASH + 1)
+    ]
+    mh_wide = sh.groupBy("doc_id").agg(*mins)
+    band_pairs = ", ".join(
+        f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
     )
-    bands = mh.groupBy(
-        "doc_id", F.expr("(j - 1) div 2").alias("band")
-    ).agg(
-        F.concat(
-            F.min(F.when(F.col("j") % 2 == 1, F.col("h"))),
-            F.lit("|"),
-            F.min(F.when(F.col("j") % 2 == 0, F.col("h"))),
-        ).alias("sig")
+    bands = mh_wide.select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {band_pairs}) AS (band, sig)"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -220,8 +231,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
+    sizes = sh_h.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh_h.alias("x"), sh_h.alias("y")
     inter = (
         cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
         .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.s") == F.col("x.s")))
