@@ -1,0 +1,209 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Layers:
+- cosine_topk:    exact brute force — broadcast queries, map-score,
+                  per-query top-k (the correctness baseline).
+- lsh_bucketize:  md5-derived sign-LSH bucket id per vector — the
+                  partition key for an IVF-style layout.
+- ann_topk:       bucketed ANN — probe the query's bucket (+ optional
+                  multi-probe neighbors at Hamming distance 1), exact
+                  rescoring inside the bucket.
+
+All vector math is JVM higher-order functions (zip_with/aggregate);
+no Python, no UDF, so scoring scales with cores×partitions.  At
+100 TB: write the corpus bucketed/partitioned by `bucket` so a query
+scans |corpus|/2^n_planes, and broadcast the (small) query set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_vec(col: str) -> Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k per query: crossJoin(broadcast(queries)) + rank.
+    queries: (query_id, embedding)."""
+    c = corpus.select(
+        F.col(id_col), as_double_vec(vec_col).alias("cv")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double_vec(vec_col).alias("qv")
+    )
+    from pyspark.sql.window import Window
+
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, cosine("cv", "qv").alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def _planes_expr(n_planes: int, dim: int) -> str:
+    """±1 hyperplanes derived from md5 — deterministic everywhere, no
+    model object to ship (plane j, dim i: sign of md5('j:i') nibble)."""
+    return (
+        f"transform(sequence(0, {n_planes - 1}), j -> "
+        f"transform(sequence(1, {dim}), i -> "
+        "case when instr('0123456789abcdef', "
+        "substring(md5(cast(concat(j, ':', i) as binary)), 1, 1)) - 1 >= 8 "
+        "then 1.0D else -1.0D end))"
+    )
+
+
+def lsh_bucketize(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Add a sign-LSH bucket id column (0 .. 2^n_planes − 1)."""
+    bucket = F.expr(
+        f"aggregate(transform(sequence(1, {n_planes}), j -> "
+        f"case when aggregate(zip_with(element_at({_planes_expr(n_planes, dim)}, j), "
+        f"transform({vec_col}, x -> cast(x as double)), "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0 "
+        "then shiftleft(1L, j - 1) else 0L end), 0L, (acc, x) -> acc + x)"
+    )
+    return df.withColumn(out_col, bucket)
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Bucketed ANN: join corpus and queries on LSH bucket, exact
+    cosine rescoring within the bucket.  ``multiprobe`` also probes
+    the n_planes buckets at Hamming distance 1 (recall boost for
+    boundary vectors at (1 + n_planes)× candidate cost)."""
+    from pyspark.sql.window import Window
+
+    c = lsh_bucketize(
+        corpus.select(F.col(id_col), as_double_vec(vec_col).alias("cv")),
+        n_planes,
+        dim,
+        "cv",
+    )
+    q = lsh_bucketize(
+        queries.select(F.col(query_id_col), as_double_vec(vec_col).alias("qv")),
+        n_planes,
+        dim,
+        "qv",
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("long")
+                for j in range(n_planes)
+            ],
+        )
+        q = q.select(
+            query_id_col, "qv", F.explode(probes).alias("bucket")
+        )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id_col, id_col, cosine("cv", "qv").alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector via posexplode + exact decimal mean →
+    (label, centroid array).  The (label, dim) key is perfectly
+    uniform, so the shuffle is |labels|×|dims| rows at any corpus
+    size."""
+    dims = (
+        df.select(F.col(label_col), F.posexplode(as_double_vec(vec_col)))
+        .groupBy(label_col, "pos")
+        .agg(
+            (F.sum(F.col("col").cast("decimal(28,10)")) / F.count("*"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    return (
+        dims.groupBy(label_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+            ).alias("centroid")
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs above a cosine threshold, pruned by
+    LSH bucket equality first (near-identical vectors land in the same
+    bucket with overwhelming probability)."""
+    b = lsh_bucketize(
+        df.select(F.col(id_col), as_double_vec(vec_col).alias("v")),
+        n_planes,
+        dim,
+        "v",
+    )
+    a, c = b.alias("a"), b.alias("b")
+    cos = cosine("a.v", "b.v")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

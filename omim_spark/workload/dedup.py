@@ -300,3 +300,115 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     or on rotated bit-bands for Hamming-k search."""
     table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(_simhash_sql("spark"))
+
+
+_FUNNEL_CTES = f"""
+    WITH RECURSIVE {_SHINGLE_CTE_DUCK},
+    mh AS (
+      SELECT doc_id, j, MIN(MD5(CAST(j AS VARCHAR) || ':' || s)) AS h
+      FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {N_MINHASH})) AS j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, (j - 1) // 2 AS band,
+             MIN(CASE WHEN j % 2 = 1 THEN h END) || '|' ||
+             MIN(CASE WHEN j % 2 = 0 THEN h END) AS sig
+      FROM mh GROUP BY doc_id, (j - 1) // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    verified AS (
+      SELECT doc_a, doc_b
+      FROM (
+        SELECT doc_a, doc_b, COUNT(*) AS n_common
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
+        GROUP BY doc_a, doc_b
+      )
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    )
+"""
+
+
+@register(
+    "q_dedup_cluster_survivors",
+    oracle=f"""
+    {_FUNNEL_CTES},
+    edges(u, v) AS (
+      SELECT doc_a, doc_b FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified
+    ),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+    ),
+    clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    losers AS (SELECT id FROM clusters WHERE id <> cluster_id)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    ANTI JOIN losers ON d.doc_id = losers.id
+    ORDER BY d.doc_id
+    """,
+)
+def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup funnel (operators.dedup.dedup_pipeline shape):
+    MinHash-LSH candidates → exact Jaccard verification → connected
+    components over verified pairs → one canonical survivor (min id)
+    per duplicate cluster.  The oracle replays the clustering with a
+    recursive CTE.
+
+    Scale: the iterative min-label propagation is O(log diameter)
+    shuffles over the EDGE set only (near-dup pairs, ≪ corpus);
+    everything upstream is the sub-quadratic LSH funnel."""
+    from omim_spark.operators.dedup import near_dup_clusters
+
+    docs = table(spark, sf_dir, "documents")
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    sh_h = sh.select("doc_id", F.xxhash64("s").alias("s"))
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("s")).cast("binary"))
+        ).alias(f"h{j}")
+        for j in range(1, N_MINHASH + 1)
+    ]
+    mh_wide = sh.groupBy("doc_id").agg(*mins)
+    band_pairs = ", ".join(
+        f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
+    )
+    bands = mh_wide.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {band_pairs}) AS (band, sig)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    from omim_spark.operators.dedup import jaccard_verify
+
+    verified = jaccard_verify(
+        cand, sh_h.select(F.col("doc_id").alias("id"), "s"), threshold=0.8
+    ).select("id_a", "id_b")
+    clusters = near_dup_clusters(verified)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,72 @@
+"""Structured Streaming tier tests: batch/stream parity on the events
+table — the stream (file source, AvailableNow trigger) must produce
+the same rollup the batch query does."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from omim_spark.streaming.jobs import hourly_rollup, run_to_completion, session_stats
+from omim_spark.workload.registry import events_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_parquet(spark, tmp_path_factory):
+    """Re-write events as micro-timestamped parquet (the nanos type in
+    the driver fixture isn't stream-readable either)."""
+    d = str(tmp_path_factory.mktemp("events_in"))
+    events_table(spark, SF_DIR).write.mode("overwrite").parquet(d)
+    return d
+
+
+class TestStreamBatchParity:
+    def test_hourly_rollup_matches_batch(self, spark, events_parquet, tmp_path):
+        batch_df = spark.read.parquet(events_parquet)
+        stream_df = spark.readStream.schema(batch_df.schema).parquet(events_parquet)
+
+        sink = str(tmp_path / "sink")
+        run_to_completion(
+            hourly_rollup(stream_df), sink, str(tmp_path / "ckpt")
+        )
+        streamed = spark.read.parquet(sink)
+        expected = (
+            batch_df.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        )
+        s = {
+            (r.window_start, r.event_type): r.n_events for r in streamed.collect()
+        }
+        e = {
+            (r.window_start, r.event_type): r.n_events for r in expected.collect()
+        }
+        # Append mode emits only watermark-closed windows: everything
+        # streamed must match batch exactly, and all windows ending
+        # more than the 2h watermark before max(ts) must have been
+        # emitted (trailing windows are legitimately withheld).
+        assert len(s) > 0
+        assert all(e[k] == v for k, v in s.items())
+        import datetime
+
+        max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+        horizon = max_ts - datetime.timedelta(hours=3)  # window len + watermark
+        closed = {k: v for k, v in e.items() if k[0] < horizon}
+        assert set(closed) <= set(s)
+
+    def test_session_stats_runs(self, spark, events_parquet, tmp_path):
+        stream_df = spark.readStream.schema(
+            spark.read.parquet(events_parquet).schema
+        ).parquet(events_parquet)
+        sink = str(tmp_path / "sess_sink")
+        run_to_completion(
+            session_stats(stream_df), sink, str(tmp_path / "sess_ckpt")
+        )
+        out = spark.read.parquet(sink)
+        rows = out.collect()
+        assert len(rows) > 0
+        r = rows[0]
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
