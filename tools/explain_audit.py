@@ -1,0 +1,123 @@
+"""Plan-hygiene audit: asserts the physical-plan invariants the
+100 TB design depends on — filters pushed to the parquet scan, column
+pruning, broadcast joins for dims, no per-row subquery execution,
+rank-filter pushed to WindowGroupLimit.
+
+Usage: python tools/explain_audit.py [sf_dir]
+Exit 1 if any invariant fails.  Also imported by tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+# invariant spec: query -> dict of checks
+#   pushed:    regex that must appear in some PushedFilters list
+#   max_scan_cols: {table_fragment: max column count in ReadSchema}
+#   min_bhj:   minimum BroadcastHashJoin count
+#   forbid:    plan substrings that must NOT appear
+AUDITS: dict[str, dict] = {
+    "q01_pricing_summary": {
+        "pushed": r"LessThanOrEqual\(l_shipdate",
+        "max_scan_cols": {"lineitem": 7},
+    },
+    "q06_revenue_delta": {
+        "pushed": r"GreaterThanOrEqual\(l_shipdate",
+        "max_scan_cols": {"lineitem": 4},
+    },
+    "q03_top_orders": {
+        "pushed": r"EqualTo\(c_mktsegment,BUILDING\)",
+        "min_bhj": 1,
+        "forbid": ["CartesianProduct"],
+    },
+    "q05_region_revenue": {
+        "pushed": r"GreaterThanOrEqual\(o_orderdate",
+        "min_bhj": 4,
+        "forbid": ["CartesianProduct"],
+    },
+    "q_rank_topk_per_group": {
+        # rank <= k must become a per-partition group limit, not a full sort+filter
+        "require": ["WindowGroupLimit"],
+    },
+    "q04_exists_priority": {
+        # EXISTS must decorrelate to a semi join
+        "require": ["LeftSemi"],
+        "forbid": ["CartesianProduct"],
+    },
+    "q21_exists_not_exists": {
+        "require": ["LeftSemi", "LeftAnti"],
+    },
+    "q17_small_quantity_revenue": {
+        # correlated scalar subquery -> aggregated join, no per-row exec
+        "forbid": ["CartesianProduct"],
+        "min_bhj": 1,
+    },
+    "q_knn_bruteforce": {
+        # top-k must be TakeOrderedAndProject, not a global Sort
+        "require": ["TakeOrderedAndProject"],
+    },
+    "q_dedup_exact": {
+        # partial aggregation before the exchange (map-side combine)
+        "require": ["HashAggregate"],
+    },
+}
+
+
+def audit(spark, sf_dir: str) -> list[str]:
+    from omim_spark.workload import QUERIES
+
+    failures: list[str] = []
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name, spec in AUDITS.items():
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        if "pushed" in spec:
+            pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+            if not re.search(spec["pushed"], pushed):
+                failures.append(f"{name}: filter not pushed ({spec['pushed']})")
+        for frag, max_cols in spec.get("max_scan_cols", {}).items():
+            for m in re.finditer(
+                r"Location:.*" + frag + r".*?ReadSchema: struct<([^>]*)>",
+                plan,
+                re.S,
+            ):
+                ncols = len(m.group(1).split(","))
+                if ncols > max_cols:
+                    failures.append(
+                        f"{name}: {frag} scan reads {ncols} cols (max {max_cols})"
+                    )
+        if plan.count("BroadcastHashJoin") < spec.get("min_bhj", 0):
+            failures.append(
+                f"{name}: expected >= {spec['min_bhj']} broadcast joins, "
+                f"got {plan.count('BroadcastHashJoin')}"
+            )
+        for frag in spec.get("require", []):
+            if frag not in plan:
+                failures.append(f"{name}: plan missing {frag}")
+        for frag in spec.get("forbid", []):
+            if frag in plan:
+                failures.append(f"{name}: plan contains forbidden {frag}")
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from omim_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = audit(spark, sf_dir)
+    for f in failures:
+        print("FAIL", f)
+    print(f"{len(AUDITS) - len(set(f.split(':')[0] for f in failures))}/"
+          f"{len(AUDITS)} queries pass plan audit")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
