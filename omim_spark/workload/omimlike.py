@@ -368,3 +368,177 @@ def q_omim_sssom_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("omim_mim")
     )
+
+
+MALFORMED_ID_ROWS = [
+    ("100100",), ("{100200}",), ("100300, found elsewhere",),
+    ("garbage",), ("12345",), ("1234567",),
+]
+
+
+@register(
+    "q_omim_parse_id",
+    oracle=f"""
+    SELECT raw,
+           CASE
+             WHEN REGEXP_MATCHES(raw, '^\\d{{6}}$') THEN raw
+             WHEN REGEXP_MATCHES(raw, '^\\{{\\d{{6}}\\}}') THEN REGEXP_EXTRACT(raw, '^\\{{(\\d{{6}})\\}}', 1)
+             WHEN REGEXP_MATCHES(raw, '^\\d{{6}},') THEN REGEXP_EXTRACT(raw, '^(\\d{{6}}),', 1)
+             ELSE NULL
+           END AS fixed
+    FROM {_values_sql(MALFORMED_ID_ROWS, ['raw'])}
+    ORDER BY raw
+    """,
+)
+def q_omim_parse_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIM id validation/repair (T1 — reference
+    omim_txt_parser.py:281-308): 6-digit pass-through, '{123456}' and
+    '123456,' repair forms, NULL otherwise."""
+    from omim_spark.parse import parse_omim_id
+
+    df = spark.createDataFrame(MALFORMED_ID_ROWS, ["raw"])
+    return df.select("raw", parse_omim_id(F.col("raw")).alias("fixed")).orderBy("raw")
+
+
+CACHE_ROWS = [
+    ("100100", "111|222", "2024-01-01"),
+    ("200200", "", "2024-01-01"),
+    ("300300", "333", "2024-01-02"),
+]
+FRESH_ROWS = [
+    ("100100", "111|222|444", "2024-02-01"),
+    ("400400", "555", "2024-02-01"),
+]
+
+
+@register(
+    "q_omim_cache_upsert_unpack",
+    oracle=f"""
+    WITH cached AS (SELECT * FROM {_values_sql(CACHE_ROWS, ['mim', 'pmid_refs', 'date_fetched'])}),
+    fresh AS (SELECT * FROM {_values_sql(FRESH_ROWS, ['mim', 'pmid_refs', 'date_fetched'])}),
+    merged AS (
+      SELECT * FROM fresh
+      UNION ALL
+      SELECT * FROM cached ANTI JOIN fresh USING (mim)
+    )
+    SELECT mim, UNNEST(STRING_SPLIT(pmid_refs, '|')) AS pmid
+    FROM merged
+    WHERE pmid_refs <> ''
+    ORDER BY mim, pmid
+    """,
+)
+def q_omim_cache_upsert_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OMIM-shaped incremental cache upsert + '|'-unpack (J8 + T11 —
+    reference omim_txt_parser.py:516-585, main.py:507-509): fresh rows
+    win, survivors keep their packed ids, then explode to links."""
+    from omim_spark.cache import unpack_packed_ids, upsert_cache
+
+    cached = spark.createDataFrame(CACHE_ROWS, ["mim", "pmid_refs", "date_fetched"])
+    fresh = spark.createDataFrame(FRESH_ROWS, ["mim", "pmid_refs", "date_fetched"])
+    merged = upsert_cache(cached, fresh)
+    return (
+        unpack_packed_ids(merged, "pmid_refs")
+        .select("mim", F.col("id").alias("pmid"))
+        .orderBy("mim", "pmid")
+    )
+
+
+HGNC_A_ROWS = [("100001", "SYMA"), ("100002", "SYMB"), ("100003", "SYMC")]
+HGNC_B_ROWS = [("100002", "SYMB"), ("100003", "OTHER"), ("100004", "SYMD")]
+
+
+@register(
+    "q_omim_hgnc_conflict_drop",
+    oracle=f"""
+    WITH a AS (SELECT * FROM {_values_sql(HGNC_A_ROWS, ['mim', 'sym'])}),
+    b AS (SELECT * FROM {_values_sql(HGNC_B_ROWS, ['mim', 'sym'])})
+    SELECT COALESCE(a.mim, b.mim) AS mim,
+           COALESCE(a.sym, b.sym) AS hgnc_symbol
+    FROM a FULL OUTER JOIN b ON a.mim = b.mim
+    WHERE a.sym IS NULL OR b.sym IS NULL OR a.sym = b.sym
+    ORDER BY mim
+    """,
+)
+def q_omim_hgnc_conflict_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-source HGNC symbol reconciliation, OMIM-shaped (J3 —
+    reference omim_txt_parser.py:426-438): agreeing or one-sided keys
+    survive, conflicting keys are DROPPED (100003 here)."""
+    a = spark.createDataFrame(HGNC_A_ROWS, ["mim_a", "sym_a"])
+    b = spark.createDataFrame(HGNC_B_ROWS, ["mim_b", "sym_b"])
+    joined = a.join(b, a.mim_a == b.mim_b, "full_outer")
+    return (
+        joined.filter(
+            F.col("sym_a").isNull()
+            | F.col("sym_b").isNull()
+            | (F.col("sym_a") == F.col("sym_b"))
+        )
+        .select(
+            F.coalesce("mim_a", "mim_b").alias("mim"),
+            F.coalesce("sym_a", "sym_b").alias("hgnc_symbol"),
+        )
+        .orderBy("mim")
+    )
+
+
+BNODE_ROWS = [
+    ("100100", "RO:0004003", "118494", "Evidence: (3) molecular basis known"),
+    ("200100", "RO:0003302", "118500", "Evidence: (2) linkage"),
+]
+
+
+@register(
+    "q_omim_restriction_emission",
+    oracle=f"""
+    WITH assoc AS (
+      SELECT * FROM {_values_sql(BNODE_ROWS, ['p_mim', 'pred', 'gene_mim', 'evidence'])}
+    ),
+    base AS (
+      SELECT 'OMIM:' || p_mim AS on_cls, pred,
+             'OMIM:' || gene_mim AS svf, evidence,
+             MD5('restriction|OMIM:' || p_mim || '|' || pred || '|OMIM:' || gene_mim) AS b
+      FROM assoc
+    )
+    SELECT subject, predicate, object FROM (
+      SELECT b AS subject, 'rdf:type' AS predicate, 'owl:Restriction' AS object FROM base
+      UNION ALL
+      SELECT b, 'owl:onProperty', pred FROM base
+      UNION ALL
+      SELECT b, 'owl:someValuesFrom', svf FROM base
+      UNION ALL
+      SELECT on_cls, 'rdfs:subClassOf', b FROM base
+      UNION ALL
+      SELECT MD5('axiom|' || on_cls || '|rdfs:subClassOf|' || b), 'biolink:has_evidence', evidence FROM base
+    )
+    ORDER BY subject, predicate, object
+    """,
+)
+def q_omim_restriction_emission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL restriction + evidence-axiom emission with deterministic md5
+    bnodes (G3/G4/T15 — reference main.py:149-174,178-186): the oracle
+    recomputes the same bnode ids independently, proving the
+    determinism contract the diffable-TTL pipeline rests on."""
+    from omim_spark.triples import emit_restriction_with_evidence
+
+    assoc = spark.createDataFrame(BNODE_ROWS, ["p_mim", "pred", "gene_mim", "evidence"])
+    triples = emit_restriction_with_evidence(
+        assoc,
+        F.col("pred"),
+        F.concat(F.lit("OMIM:"), F.col("gene_mim")),
+        F.concat(F.lit("OMIM:"), F.col("p_mim")),
+        F.col("evidence"),
+    )
+    keep = triples.filter(
+        F.col("predicate").isin(
+            "rdf:type",
+            "owl:onProperty",
+            "owl:someValuesFrom",
+            "rdfs:subClassOf",
+            "biolink:has_evidence",
+        )
+        & (
+            (F.col("predicate") != "rdf:type") | (F.col("object") == "owl:Restriction")
+        )
+    )
+    return keep.select("subject", "predicate", "object").orderBy(
+        "subject", "predicate", "object"
+    )
