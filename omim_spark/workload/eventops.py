@@ -188,3 +188,49 @@ def q_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_events_sliding_window",
+    oracle=f"""
+    WITH slid AS (
+      SELECT event_type, value,
+             TO_TIMESTAMP((EPOCH_US(ts) // 1800000000 + s) * 1800) AS w_start
+      FROM events
+      CROSS JOIN (SELECT UNNEST([0, -1]) AS s)
+    )
+    SELECT STRFTIME(w_start, '%Y-%m-%d %H:%M') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           {_dsum_sql('value')} AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30min slide) per event type — each
+    event lands in exactly two windows (F.window with slideDuration;
+    the oracle reconstructs the window algebra by hand).
+
+    Scale: window assignment is a per-row explode (×2), the aggregate
+    is map-side-combinable on (window, type) — the standard streaming
+    rollup shape, run here in batch."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -782,3 +782,45 @@ def q_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
     )
+
+
+@register(
+    "q_stats_aggregates",
+    oracle="""
+    SELECT c_mktsegment,
+           QUANTILE_CONT(o_totalprice, 0.5) AS p50,
+           QUANTILE_CONT(o_totalprice, 0.9) AS p90,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd,
+           ROUND(VAR_SAMP(o_totalprice), 2) AS variance,
+           ROUND(CORR(o_totalprice, c_acctbal), 6) AS price_bal_corr,
+           COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: exact interpolated
+    percentiles, sample stddev/variance, correlation (engine-parity
+    verified: Spark `percentile` ≡ DuckDB `quantile_cont`, both exact;
+    skewness deliberately excluded — the engines use different bias
+    corrections).
+
+    Scale: exact percentile requires a per-group sort — at 100 TB
+    switch to approx_percentile (t-digest) unless exactness is a
+    contract; stddev/var/corr are single-pass algebraic."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+            F.round(F.var_samp("o_totalprice"), 2).alias("variance"),
+            F.round(F.corr("o_totalprice", "c_acctbal"), 6).alias("price_bal_corr"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
