@@ -127,7 +127,7 @@ def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_orderkey,
            {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
-           CAST(o_orderdate AS DATE) AS orderdate,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -135,7 +135,7 @@ def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_mktsegment = 'BUILDING'
       AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
       AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
-    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    GROUP BY l_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d'), o_orderpriority
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
@@ -161,7 +161,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -227,7 +227,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c_custkey, c_name,
            {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
            n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -236,7 +236,7 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_returnflag = 'R'
-    GROUP BY c_custkey, c_name, CAST(c_acctbal AS DECIMAL(18,2)), n_name
+    GROUP BY c_custkey, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE), n_name
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
     """,
@@ -257,7 +257,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "c_custkey",
             "c_name",
-            F.col("c_acctbal").cast("decimal(18,2)").alias("acctbal"),
+            F.col("c_acctbal").cast("decimal(18,2)").cast("double").alias("acctbal"),
             "n_name",
         )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -620,7 +620,7 @@ def q_window_assoc_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT * FROM (
       SELECT c_mktsegment, o_orderkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
              ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
       FROM orders JOIN customer ON o_custkey = c_custkey
@@ -647,7 +647,7 @@ def q_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_mktsegment",
             "o_orderkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
             F.row_number().over(w).alias("rk"),
         )
         .filter(F.col("rk") <= 3)

@@ -158,7 +158,7 @@ sql_query(
     "q18_large_orders",
     f"""
     SELECT c_name, c_custkey, o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
            {DSUM.format(expr='l_quantity')} AS total_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -167,7 +167,7 @@ sql_query(
       SELECT l_orderkey FROM lineitem
       GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
     )
-    GROUP BY c_name, c_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
+    GROUP BY c_name, c_custkey, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
     ORDER BY price DESC, o_orderkey
     LIMIT 20
     """,

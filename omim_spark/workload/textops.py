@@ -144,8 +144,8 @@ def q_string_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT STRFTIME(o_orderdate, '%Y-%m') AS month,
            COUNT(*) AS n_orders,
            {_dsum_sql('o_totalprice')} AS total,
-           CAST(MIN(o_orderdate) AS DATE) AS first_day,
-           CAST(MAX(o_orderdate) + INTERVAL 1 DAY AS DATE) AS last_day_plus1
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+           STRFTIME(MAX(o_orderdate) + INTERVAL 1 DAY, '%Y-%m-%d') AS last_day_plus1
     FROM orders
     GROUP BY STRFTIME(o_orderdate, '%Y-%m')
     ORDER BY month
@@ -161,8 +161,8 @@ def q_dates_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             dsum(F.col("o_totalprice")).alias("total"),
-            F.min("o_orderdate").cast("date").alias("first_day"),
-            F.date_add(F.max("o_orderdate").cast("date"), 1).alias("last_day_plus1"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.date_add(F.max("o_orderdate").cast("date"), 1), "yyyy-MM-dd").alias("last_day_plus1"),
         )
         .orderBy("month")
     )
