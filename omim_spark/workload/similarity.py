@@ -203,3 +203,89 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dim") <= 4)
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "q_crossmodal_neardup",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+        GENERATE_SERIES(1, LEN(toks) - 2),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      FROM tk
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    textdups AS (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard,
+           ROUND({_COS_DUCK.format(a='ea.v', b='eb.v')}, 6) AS emb_cosine
+    FROM textdups
+    JOIN e ea ON doc_a = ea.vec_id
+    JOIN e eb ON doc_b = eb.vec_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal validation join: text near-duplicate pairs (n-gram
+    Jaccard ≥ 0.8) annotated with their embedding-space cosine — the
+    audit query a training pipeline runs to check that its text dedup
+    and its embedding space agree (doc_id ≡ vec_id in the fixtures).
+
+    Scale: the expensive side (text pair mining) is the LSH funnel;
+    the embedding annotate is two broadcast-able id-joins after it."""
+    from omim_spark.workload.dedup import _shingles
+
+    sh = (
+        _shingles(spark, sf_dir)
+        .select("doc_id", F.xxhash64("s").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    textdups = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    ea = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    return (
+        textdups.join(F.broadcast(ea), F.col("doc_a") == F.col("ia"))
+        .join(F.broadcast(eb), F.col("doc_b") == F.col("ib"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round(_cosine("va", "vb"), 6).alias("emb_cosine"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

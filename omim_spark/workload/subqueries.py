@@ -264,3 +264,69 @@ sql_query(
     ORDER BY part_value DESC, l_partkey
     """,
 )
+
+sql_query(
+    "q02_min_cost_supplier",
+    """
+    SELECT p_partkey, p_name, s_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS volume
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size <= 3
+      AND l_extendedprice = (
+        SELECT MIN(l_extendedprice) FROM lineitem li2
+        WHERE li2.l_partkey = part.p_partkey
+      )
+    GROUP BY p_partkey, p_name, s_name
+    ORDER BY p_partkey, s_name
+    """,
+)
+
+sql_query(
+    "q08_market_share",
+    """
+    WITH volumes AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM volumes
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+sql_query(
+    "q09_product_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.8 * p_retailprice * l_quantity
+                         AS DECIMAL(18,6))) AS DOUBLE) AS amount
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER)
+    ORDER BY nation, o_year
+    """,
+)
