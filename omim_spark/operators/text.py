@@ -122,6 +122,30 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept RE2-compatible (portable across Java regex / RE2 /
+# DuckDB) — no backrefs, no lookarounds.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a ``redacted`` column with emails/phones/SSNs masked and
+    one ``n_<kind>`` match-count column per pattern.  Order matters:
+    phone (3-3-4) is applied before SSN (3-2-4) so neither eats the
+    other's digits.  Pure regexp expressions — per-row map stage."""
+    red = F.col(text_col)
+    out = df
+    for kind, (pat, token) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
+        )
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("redacted", red)
+
+
 def rolling_hashes(
     df: DataFrame, text_col: str = "text", window: int = 8, base: int = 257
 ) -> DataFrame:

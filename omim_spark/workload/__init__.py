@@ -20,5 +20,6 @@ from . import similarity  # noqa: E402,F401
 from . import eventops  # noqa: E402,F401
 from . import omimlike  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
+from . import pipelineops  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QueryDef", "register"]

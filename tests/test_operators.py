@@ -202,3 +202,106 @@ class TestMultimodal:
 
         with _pytest.raises(Exception):
             multimodal.extract_image_features(media, decoder="nope").collect()
+
+
+class TestSamplingOps:
+    """operators/sampling.py: deterministic split / sample / chunk / pack."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (i, " ".join(f"w{j}" for j in range(5 + i % 7)), f"g{i % 3}")
+            for i in range(60)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    def test_split_deterministic_and_partition(self, corpus):
+        from omim_spark.operators.sampling import train_test_split
+
+        a = {(r.doc_id, r.split) for r in train_test_split(corpus, "doc_id").collect()}
+        b = {
+            (r.doc_id, r.split)
+            for r in train_test_split(corpus.repartition(7), "doc_id").collect()
+        }
+        assert a == b  # stable under repartition
+        splits = {s for _, s in a}
+        assert splits == {"train", "test"}
+        train_n = sum(1 for _, s in a if s == "train")
+        assert 0.7 < train_n / 60 < 1.0  # ~90% at this sample size
+
+    def test_weighted_sample_subset_and_weights(self, corpus):
+        from omim_spark.operators.sampling import weighted_sample
+
+        full = weighted_sample(corpus, "doc_id", "source", {"g0": 1.0}, 0.0)
+        kept = {r.doc_id for r in full.collect()}
+        assert kept == {i for i in range(60) if i % 3 == 0}  # w=1 keeps all, w=0 none
+        half = weighted_sample(corpus, "doc_id", "source", {}, 0.5)
+        assert 0 < half.count() < 60
+
+    def test_chunk_tokens_cover_and_overlap(self, corpus):
+        from omim_spark.operators.sampling import chunk_tokens
+
+        chunks = chunk_tokens(corpus, size=4, stride=2).collect()
+        by_doc = {}
+        for r in chunks:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        n_tok = {r.doc_id: len(r.text.split(" ")) for r in corpus.collect()}
+        for doc, rows in by_doc.items():
+            rows.sort(key=lambda r: r.chunk_id)
+            # chunk starts advance by stride; sizes capped at 4
+            assert all(r.n_chunk_tokens <= 4 for r in rows)
+            assert len(rows) == -(-n_tok[doc] // 2)  # ceil(n/stride)
+            # reconstruction: stride-2 prefix of each chunk tiles the doc
+            reconstructed = []
+            for r in rows:
+                reconstructed.extend(r.chunk_text.split(" ")[:2])
+            assert reconstructed[: n_tok[doc]] == [
+                t for t in by_doc[doc][0].chunk_text.split(" ")[:2]
+            ] + reconstructed[2 : n_tok[doc]]
+
+    def test_pack_contiguous_capacity(self, corpus):
+        from omim_spark.operators.sampling import pack_contiguous
+
+        docs = corpus.withColumn("n_tok", F.size(F.split("text", " ")))
+        packed = pack_contiguous(
+            docs, group="source", order="doc_id", tokens="n_tok", capacity=16
+        )
+        rows = packed.collect()
+        # pack ids are dense-ish and non-negative; boundaries respect order
+        for r in rows:
+            assert r.pack_id >= 0
+        # per (source, pack) token sums: every pack except the last in its
+        # source ends at/after the capacity boundary (contiguous cuts)
+        agg = (
+            packed.groupBy("source", "pack_id")
+            .agg(F.sum("n_tok").alias("tok"))
+            .collect()
+        )
+        by_src = {}
+        for r in agg:
+            by_src.setdefault(r.source, []).append((r.pack_id, r.tok))
+        for src, packs in by_src.items():
+            packs.sort()
+            for pid, tok in packs[:-1]:
+                assert tok >= 16 - 10  # a doc may straddle the cut
+
+
+class TestRedaction:
+    def test_redact_pii(self, spark):
+        from omim_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b@x.co or call 555-123-4567 ssn 123-45-6789"),
+                (2, "clean text with no pii at all"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r for r in redact_pii(df).collect()}
+        assert "[EMAIL]" in out[1].redacted
+        assert "[PHONE]" in out[1].redacted
+        assert "[SSN]" in out[1].redacted
+        assert (out[1].n_email, out[1].n_phone, out[1].n_ssn) == (1, 1, 1)
+        assert "a.b@x.co" not in out[1].redacted
+        assert out[2].redacted == out[2].text
+        assert (out[2].n_email, out[2].n_phone, out[2].n_ssn) == (0, 0, 0)
