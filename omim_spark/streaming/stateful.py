@@ -1,0 +1,117 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The built-in streaming aggregations in ``jobs.py`` cover windowed
+rollups; these operators cover the cases that need *explicit* keyed
+state across micro-batches:
+
+- ``running_user_totals``: per-key running (count, sum) emitted every
+  micro-batch — the live form of a grouped aggregate, with the state
+  schema under our control (so it can carry sketches, not just sums).
+- ``first_seen_filter``: streaming exact dedup — emit a key's row only
+  the first time the key is ever seen; later occurrences are dropped.
+  This is the streaming twin of ``operators.dedup.exact_dedup`` and
+  the pattern a live ingest pipeline uses to keep a corpus duplicate-
+  free without re-scanning it.
+
+State is Arrow-serialized pandas; one state row per key, sharded by
+the shuffle partitioning of the group key — at scale the state store
+is bounded by key cardinality, not input size.  (Production would add
+a TTL via GroupStateTimeout to bound cardinality too; the operators
+accept the timeout conf but default to none so tests are exact.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running count and value sum, one updated row per key
+    per micro-batch (update semantics).  Input needs ``user_id`` and
+    ``value`` columns."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _totals_fn,
+            outputStructType=_TOTALS_OUT,
+            stateStructType=_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+_SEEN_OUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("first_batch_rows", LongType()),
+    ]
+)
+_SEEN_STATE = StructType([StructField("seen", LongType())])
+
+
+def _first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_rows = 0
+    for pdf in pdfs:
+        n_rows += len(pdf)
+    if state.exists:
+        (seen,) = state.get
+        state.update((seen + n_rows,))
+        return  # key already emitted once — drop
+    state.update((n_rows,))
+    yield pd.DataFrame({"key": [key[0]], "first_batch_rows": [n_rows]})
+
+
+def first_seen_filter(df: DataFrame, key_col: str) -> DataFrame:
+    """Streaming exact dedup: emit each key once, on first sight, with
+    the number of rows that arrived in that first batch.  Subsequent
+    arrivals only bump the (never re-emitted) state counter."""
+    return (
+        df.select(df[key_col].cast("string").alias("key"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=_SEEN_OUT,
+            stateStructType=_SEEN_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

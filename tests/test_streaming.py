@@ -70,3 +70,79 @@ class TestStreamBatchParity:
         r = rows[0]
         assert r.session_end >= r.session_start
         assert r.n_events >= 1
+
+
+class TestStatefulOperators:
+    """applyInPandasWithState: custom keyed state across micro-batches."""
+
+    @pytest.fixture(scope="class")
+    def multi_file_events(self, spark, tmp_path_factory):
+        """Events split into several parquet files so maxFilesPerTrigger
+        can force multiple micro-batches (state must survive between)."""
+        d = str(tmp_path_factory.mktemp("stateful_in"))
+        events_table(spark, SF_DIR).repartition(4).write.mode("overwrite").parquet(d)
+        return d
+
+    def _drain(self, spark, src, query_builder, tmp_path, name):
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        batches = []
+
+        def sink(df, epoch_id):
+            batches.append((epoch_id, df.toPandas()))
+
+        (
+            query_builder(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return batches
+
+    def test_running_totals_match_batch(self, spark, multi_file_events, tmp_path):
+        from omim_spark.streaming.stateful import running_user_totals
+
+        batches = self._drain(
+            spark, multi_file_events, running_user_totals, tmp_path, "totals"
+        )
+        assert len(batches) > 1  # state genuinely crossed micro-batches
+        final = {}
+        for _, pdf in batches:  # later batches overwrite (update semantics)
+            for row in pdf.itertuples():
+                final[row.user_id] = (row.n_events, row.total_value)
+        expected = {
+            r.user_id: (r.n, r.total)
+            for r in spark.read.parquet(multi_file_events)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+            .collect()
+        }
+        assert set(final) == set(expected)
+        for k, (n, total) in expected.items():
+            assert final[k][0] == n
+            assert abs(final[k][1] - total) < 1e-6
+
+    def test_first_seen_filter_emits_once(self, spark, multi_file_events, tmp_path):
+        from omim_spark.streaming.stateful import first_seen_filter
+
+        batches = self._drain(
+            spark,
+            multi_file_events,
+            lambda s: first_seen_filter(s, "user_id"),
+            tmp_path,
+            "seen",
+        )
+        emitted = [row.key for _, pdf in batches for row in pdf.itertuples()]
+        assert len(emitted) == len(set(emitted))  # each key exactly once
+        all_keys = {
+            str(r.user_id)
+            for r in spark.read.parquet(multi_file_events).select("user_id").distinct().collect()
+        }
+        assert set(emitted) == all_keys
