@@ -21,5 +21,6 @@ from . import eventops  # noqa: E402,F401
 from . import omimlike  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
 from . import pipelineops  # noqa: E402,F401
+from . import streamgate  # noqa: E402,F401
 
 __all__ = ["QUERIES", "QueryDef", "register"]

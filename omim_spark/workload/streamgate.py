@@ -1,0 +1,146 @@
+"""Queries that put the engine's non-SQL execution paths under the
+driver's DuckDB-oracle gate:
+
+- ``q_stream_hourly_closed``: an actual Structured Streaming run
+  (file source → watermark → tumbling window → parquet sink,
+  Trigger.AvailableNow).  Append mode emits exactly the windows whose
+  end ≤ final watermark (max event time − delay), which is a pure
+  function of the data — so the oracle can replay it in SQL.
+- ``q_multimodal_features``: the mapInPandas Arrow-decode path from
+  ``operators.multimodal`` over synthesized binary payloads; the stub
+  decoder's byte arithmetic (cyclic tiling to width×height, mean luma)
+  is replayed by the oracle per character code.
+
+Both run the REAL execution machinery (streaming state store, Arrow
+batch transfer) — not a batch rewrite of it.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import extract_image_features
+from ..streaming.jobs import hourly_rollup, run_to_completion
+from .registry import events_table, register, table
+
+_SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
+
+WATERMARK_H = 2
+
+
+@register(
+    "q_stream_hourly_closed",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    agg AS (
+      SELECT DATE_TRUNC('hour', ts) AS ws,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:00') AS window_start,
+           event_type, n_events, total_value
+    FROM agg, mx
+    WHERE ws + INTERVAL 1 HOUR <= m - INTERVAL {WATERMARK_H} HOUR
+    ORDER BY window_start, event_type
+    """,
+)
+def q_stream_hourly_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming hourly rollup, run to completion and gated
+    on the closed-window set: append mode emits a window only once the
+    watermark (max event time − 2 h) passes its end, so the emitted set
+    is deterministic and the oracle reproduces it with a WHERE clause.
+
+    Scale: the streaming query is the production shape — file source
+    (any landing zone), watermark-bounded state, parquet sink; state
+    size is (hours × event types) regardless of input volume."""
+    run_id = uuid.uuid4().hex[:12]
+    base = _SCRATCH / f"stream_{run_id}"
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    try:
+        # Land the (micro-timestamped) events as the stream's source dir.
+        events_table(spark, sf_dir).select(
+            "ts", "event_type", "value"
+        ).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_to_completion(
+            hourly_rollup(stream, watermark=f"{WATERMARK_H} hours"), sink, ckpt
+        )
+        out = (
+            spark.read.parquet(sink)
+            .select(
+                F.date_format("window_start", "yyyy-MM-dd HH:00").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .orderBy("window_start", "event_type")
+            .localCheckpoint(eager=True)  # sever lineage before cleanup
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             16 + doc_id % 16 AS width,
+             8 + doc_id % 8 AS height,
+             text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    px AS (
+      SELECT doc_id, width, height,
+             UNNEST(LIST_TRANSFORM(
+               GENERATE_SERIES(0, width * height - 1),
+               i -> UNICODE(SUBSTR(text, (i % LENGTH(text)) + 1, 1)))) AS luma
+      FROM media
+    )
+    SELECT doc_id AS media_id, width, height,
+           ROUND(AVG(luma), 6) AS mean_luma
+    FROM px
+    GROUP BY doc_id, width, height
+    ORDER BY media_id
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode path under the gate: binary payloads (UTF-8
+    bytes of the document text — ASCII in the fixtures, so byte ==
+    codepoint) flow through the REAL operators.multimodal mapInPandas
+    Arrow pipeline with the deterministic stub decoder (cyclic tiling
+    to width×height); the oracle replays the same arithmetic per
+    character.  A real image decoder swaps into the same plan.
+
+    Scale: payload bytes stay executor-side in Arrow batches; the
+    output is fixed-size features per row, so the downstream shuffle
+    carries KB not MB."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("raw").alias("format"),
+        (16 + F.col("doc_id") % 16).cast("int").alias("width"),
+        (8 + F.col("doc_id") % 8).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    feats = extract_image_features(media, decoder="fake")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    ).orderBy("media_id")
