@@ -63,6 +63,43 @@ AUDITS: dict[str, dict] = {
         # partial aggregation before the exchange (map-side combine)
         "require": ["HashAggregate"],
     },
+    "q_train_test_split": {
+        # split decision is a scan-level expression: only 3 cols read
+        "max_scan_cols": {"documents": 3},
+    },
+    "q_domain_mix_sample": {
+        # sampling is a pure filter: no text column read at all
+        "max_scan_cols": {"documents": 2},
+    },
+    "q_doc_chunking": {
+        # chunk fan-out is a map-side Generate over a 2-col scan
+        "require": ["Generate"],
+        "max_scan_cols": {"documents": 2},
+    },
+    "q_pack_contiguous": {
+        # one keyed window; the rollup reuses the window's partitioning
+        # (hash on source satisfies clustering on (source, pack_id)),
+        # so no second hash exchange appears between Window and agg
+        "require": ["Window"],
+        "max_scan_cols": {"documents": 3},
+        "max_hash_exchanges": 1,
+    },
+    "q_pii_redaction": {
+        "max_scan_cols": {"customer": 2},
+    },
+    "q_repetition_stats": {
+        "require": ["Generate", "HashAggregate"],
+        "max_scan_cols": {"documents": 2},
+    },
+    "q_multimodal_features": {
+        # the decode path must be the Arrow-batched python map operator
+        "require": ["MapInPandas"],
+        "max_scan_cols": {"documents": 2},
+    },
+    "q_crossmodal_neardup": {
+        # embedding annotate joins must broadcast the embedding side
+        "min_bhj": 2,
+    },
 }
 
 
@@ -96,6 +133,13 @@ def audit(spark, sf_dir: str) -> list[str]:
                 f"{name}: expected >= {spec['min_bhj']} broadcast joins, "
                 f"got {plan.count('BroadcastHashJoin')}"
             )
+        if "max_hash_exchanges" in spec:
+            n_ex = plan.count("hashpartitioning(")
+            if n_ex > spec["max_hash_exchanges"]:
+                failures.append(
+                    f"{name}: {n_ex} hash exchanges "
+                    f"(max {spec['max_hash_exchanges']})"
+                )
         for frag in spec.get("require", []):
             if frag not in plan:
                 failures.append(f"{name}: plan missing {frag}")
