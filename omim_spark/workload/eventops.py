@@ -234,3 +234,69 @@ def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "q_asof_click_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, MAX(event_id) AS p_event_id,
+             ARG_MAX(value, event_id) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           EPOCH_US(c.ts) AS click_ts_us,
+           p.p_event_id AS purchase_id,
+           p.p_value AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY click_id
+    """,
+)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each click annotated with the user's most
+    recent purchase at-or-before the click.  The oracle is DuckDB's
+    NATIVE ``ASOF JOIN``; the Spark side is the
+    operators/asof.py:asof_join_backward composition — union both
+    sides, one shuffle on user_id, one ordered window carrying the
+    latest purchase payload forward.  Right side is pre-deduplicated
+    per (user, ts) by max event_id so tie semantics are explicit.
+
+    Scale: cost is ONE exchange on the key + per-key sort — no range
+    join, no per-row subquery; 100 TB of events as-of-join at shuffle
+    speed."""
+    from omim_spark.operators.asof import asof_join_backward
+
+    ev = events_table(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    joined = asof_join_backward(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=("p_event_id", "p_value"),
+        tiebreak="p_event_id",
+        prefix="",
+    )
+    return joined.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("click_ts_us"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.col("p_value").alias("purchase_value"),
+    ).orderBy("click_id")

@@ -305,3 +305,42 @@ class TestRedaction:
         assert "a.b@x.co" not in out[1].redacted
         assert out[2].redacted == out[2].text
         assert (out[2].n_email, out[2].n_phone, out[2].n_ssn) == (0, 0, 0)
+
+
+class TestAsofJoin:
+    def test_backward_semantics(self, spark):
+        from omim_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame(
+            [(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3"), (3, 7, "l4")],
+            ["k", "t", "tag"],
+        )
+        right = spark.createDataFrame(
+            [(1, 10, 100.0, 1), (1, 15, 150.0, 2), (2, 9, 900.0, 3)],
+            ["k", "t", "v", "rid"],
+        )
+        out = {
+            r.tag: (r.r_v, r.r_rid)
+            for r in asof_join_backward(
+                left, right, key="k", left_ts="t", right_ts="t",
+                right_payload=("v", "rid"), tiebreak="rid",
+            ).collect()
+        }
+        assert out["l1"] == (100.0, 1)   # equal ts matches
+        assert out["l2"] == (150.0, 2)   # most recent prior
+        assert out["l3"] == (None, None)  # right row is in the future
+        assert out["l4"] == (None, None)  # key has no right rows
+
+    def test_tiebreak_deterministic(self, spark):
+        from omim_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame([(1, 20, "x")], ["k", "t", "tag"])
+        right = spark.createDataFrame(
+            [(1, 10, 1.0, 7), (1, 10, 2.0, 9), (1, 10, 3.0, 8)],
+            ["k", "t", "v", "rid"],
+        )
+        rows = asof_join_backward(
+            left, right, key="k", left_ts="t", right_ts="t",
+            right_payload=("v", "rid"), tiebreak="rid",
+        ).collect()
+        assert (rows[0].r_v, rows[0].r_rid) == (2.0, 9)  # max tiebreak wins
