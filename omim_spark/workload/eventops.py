@@ -300,3 +300,67 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_event_id").alias("purchase_id"),
         F.col("p_value").alias("purchase_value"),
     ).orderBy("click_id")
+
+
+@register(
+    "q_interval_join_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, EPOCH_US(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    ),
+    windows AS (
+      SELECT event_id AS purchase_id, user_id,
+             EPOCH_US(ts) - 1800000000 AS lo_us,
+             EPOCH_US(ts) AS hi_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.click_id, w.purchase_id, c.user_id,
+           w.hi_us - c.ts_us AS lead_us
+    FROM clicks c
+    JOIN windows w
+      ON c.user_id = w.user_id
+     AND c.ts_us BETWEEN w.lo_us AND w.hi_us
+    ORDER BY click_id, purchase_id
+    """,
+)
+def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval attribution join: every click falling in the
+    30 minutes before a purchase by the same user (ad-attribution /
+    conversion-window shape).  Spark-side this is
+    operators/rangejoin.py:interval_join — the range predicate
+    rewritten as an equi-join on 30-minute time buckets, so Catalyst
+    plans a hash join instead of a BroadcastNestedLoop.
+
+    Scale: shuffle carries |clicks| + 2x|purchases| rows keyed by
+    (user, bucket); no cartesian anywhere; AQE can split hot users."""
+    from omim_spark.operators.rangejoin import interval_join
+
+    ev = events_table(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    half_hour_us = 30 * 60 * 1_000_000
+    windows = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.unix_micros("ts") - half_hour_us).alias("lo_us"),
+        F.unix_micros("ts").alias("hi_us"),
+    )
+    joined = interval_join(
+        clicks,
+        windows,
+        key="user_id",
+        point_ts_us="ts_us",
+        start_us="lo_us",
+        end_us="hi_us",
+        bucket_width_us=half_hour_us,
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.col("hi_us") - F.col("ts_us")).alias("lead_us"),
+    ).orderBy("click_id", "purchase_id")

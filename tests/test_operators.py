@@ -344,3 +344,41 @@ class TestAsofJoin:
             right_payload=("v", "rid"), tiebreak="rid",
         ).collect()
         assert (rows[0].r_v, rows[0].r_rid) == (2.0, 9)  # max tiebreak wins
+
+
+class TestIntervalJoin:
+    def test_containment_and_bucket_straddle(self, spark):
+        from omim_spark.operators.rangejoin import interval_join
+
+        points = spark.createDataFrame(
+            [(1, 100, "p1"), (1, 150, "p2"), (1, 201, "p3"), (2, 100, "p4")],
+            ["k", "t", "tag"],
+        )
+        # interval [95, 200] straddles buckets of width 100 (0,1,2)
+        intervals = spark.createDataFrame(
+            [(1, 95, 200, "iv1"), (2, 300, 400, "iv2")],
+            ["k", "lo", "hi", "iv"],
+        )
+        got = {
+            (r.tag, r.iv)
+            for r in interval_join(
+                points, intervals, key="k", point_ts_us="t",
+                start_us="lo", end_us="hi", bucket_width_us=100,
+            ).collect()
+        }
+        # p1/p2 inside, boundary hi=200 exclusive? BETWEEN is inclusive:
+        # 201 > 200 out; p4 wrong key/time.
+        assert got == {("p1", "iv1"), ("p2", "iv1")}
+
+    def test_exactly_once_per_pair(self, spark):
+        from omim_spark.operators.rangejoin import interval_join
+
+        points = spark.createDataFrame([(1, 50, "p")], ["k", "t", "tag"])
+        intervals = spark.createDataFrame(
+            [(1, 0, 1000, "wide")], ["k", "lo", "hi", "iv"]
+        )
+        rows = interval_join(
+            points, intervals, key="k", point_ts_us="t",
+            start_us="lo", end_us="hi", bucket_width_us=10,
+        ).collect()
+        assert len(rows) == 1  # interval replicated 101x, pair meets once
