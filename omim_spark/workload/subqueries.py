@@ -330,3 +330,62 @@ sql_query(
     ORDER BY nation, o_year
     """,
 )
+
+sql_query(
+    "q_event_islands_rle",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, event_type, grp, COUNT(*) AS run_len
+      FROM seq GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, event_type, COUNT(*) AS n_runs, MAX(run_len) AS max_run,
+           SUM(run_len) AS n_events
+    FROM islands GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+
+sql_query(
+    "q_scd2_priority_intervals",
+    """
+    WITH h AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER w AS prev_p,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM h WHERE rn = 1 OR o_orderpriority <> prev_p
+    )
+    SELECT o_custkey, o_orderpriority,
+           CAST(CAST(o_orderdate AS DATE) AS STRING) AS valid_from,
+           CAST(CAST(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS DATE) AS STRING)
+             AS valid_to
+    FROM changes
+    ORDER BY o_custkey, valid_from, o_orderpriority
+    """,
+)
+
+sql_query(
+    "q_median_doc_stats",
+    """
+    SELECT source,
+           MEDIAN(n_chars) AS median_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
