@@ -307,3 +307,33 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_grouped_rank_normalize",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1 THEN 0.0
+                ELSE CAST(RANK() OVER (PARTITION BY source ORDER BY n_chars) - 1
+                          AS DOUBLE)
+                     / (COUNT(*) OVER (PARTITION BY source) - 1) END AS pct_rank
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_grouped_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile-rank normalization of document length,
+    computed by the REAL grouped-pandas path
+    (operators/grouped.py:rank_normalize — groupBy(source).
+    applyInPandas) and verified against the SQL window equivalent:
+    rank arithmetic is integer, so the Arrow round-trip must be
+    bit-identical to the oracle.
+
+    Scale: one hash exchange on source; each group is one pandas
+    frame — the many-small-groups shape applyInPandas is for."""
+    from omim_spark.operators.grouped import rank_normalize
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return rank_normalize(docs, group="source", value="n_chars").select(
+        "doc_id", "source", "pct_rank"
+    ).orderBy("doc_id")
