@@ -389,3 +389,47 @@ sql_query(
     ORDER BY source
     """,
 )
+
+sql_query(
+    "q_window_zoo",
+    """
+    SELECT c_custkey,
+           c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr,
+           CAST(CUME_DIST() OVER w AS DOUBLE) AS cd,
+           FIRST_VALUE(c_custkey) OVER w AS seg_min_cust,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+               ORDER BY c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS seg_second_cust,
+           LEAD(c_custkey, 2) OVER w AS cust_plus2
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+
+sql_query(
+    "q_null_semantics",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS p,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                  ELSE o_totalprice END AS v
+      FROM orders
+    )
+    SELECT p IS NOT DISTINCT FROM '1-URGENT' AS is_urgent,
+           COALESCE(p, 'missing') AS p_filled,
+           COUNT(*) AS n,
+           COUNT(v) AS n_nonnull,
+           CAST(SUM(CAST(COALESCE(v, 0) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_filled,
+           MIN(NULLIF(p, '5-LOW')) AS min_not_low
+    FROM t
+    GROUP BY 1, 2
+    ORDER BY is_urgent, p_filled
+    """,
+)

@@ -351,3 +351,47 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.sort_array(F.array_distinct(F.split("text", " "))), " ")
         ).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_tf_df_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM toks WHERE term <> '' GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT term, tf, df, n_docs,
+           tf * (n_docs - df) AS tfidf_num
+    FROM tf, n
+    ORDER BY tf DESC, term
+    LIMIT 100
+    """,
+)
+def q_tf_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency table — the integer core of
+    TF-IDF (the log is left to the consumer so the cross-engine check
+    stays exact).  Top-100 terms by collection frequency.
+
+    Scale: explode + two partial-agged exchanges (term, then the tiny
+    distinct); the doc-count side is a 1-row broadcast."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.crossJoin(F.broadcast(n))
+        .select(
+            "term", "tf", "df", "n_docs",
+            (F.col("tf") * (F.col("n_docs") - F.col("df"))).alias("tfidf_num"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(100)
+    )
