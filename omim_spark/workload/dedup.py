@@ -412,3 +412,106 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+MAX_DF = 20  # hot-shingle document-frequency cap (production funnel)
+
+
+@register(
+    "q_dedup_lsh_capped",
+    oracle=f"""
+    WITH {_SHINGLE_CTE_DUCK},
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {MAX_DF}),
+    shc AS (SELECT doc_id, s FROM sh ANTI JOIN hot USING (s)),
+    mh AS (
+      SELECT doc_id, j, MIN(MD5(CAST(j AS VARCHAR) || ':' || s)) AS h
+      FROM shc CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {N_MINHASH})) AS j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, (j - 1) // 2 AS band,
+             MIN(CASE WHEN j % 2 = 1 THEN h END) || '|' ||
+             MIN(CASE WHEN j % 2 = 0 THEN h END) AS sig
+      FROM mh GROUP BY doc_id, (j - 1) // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT doc_a, doc_b, COUNT(*) AS n_common
+      FROM cand
+      JOIN shc x ON x.doc_id = doc_a
+      JOIN shc y ON y.doc_id = doc_b AND y.s = x.s
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup funnel: identical to q_dedup_minhash_lsh
+    but with the hot-shingle document-frequency cap (df > {MAX_DF}
+    dropped) applied before minhashing — the mitigation that keeps the
+    candidate join bounded under corpus growth (measured flat in
+    SCALING.md).  The cap is deterministic, so the oracle replays it
+    with a HAVING clause and the gate stays exact."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("s")
+    )
+    shc = sh.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(eager=False)
+    shc_h = shc.select("doc_id", F.xxhash64("s").alias("s"))
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("s")).cast("binary"))
+        ).alias(f"h{j}")
+        for j in range(1, N_MINHASH + 1)
+    ]
+    mh_wide = shc.groupBy("doc_id").agg(*mins)
+    band_pairs = ", ".join(
+        f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
+    )
+    bands = mh_wide.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {band_pairs}) AS (band, sig)")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = shc_h.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = shc_h.alias("x"), shc_h.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("doc_b")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
