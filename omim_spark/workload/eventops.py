@@ -364,3 +364,23 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("hi_us") - F.col("ts_us")).alias("lead_us"),
     ).orderBy("click_id", "purchase_id")
+
+
+@register("q_approx_distinct_sketch", oracle=None)
+def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (rows-only check: HLL estimates are
+    engine-specific by design): per event_type, approx_count_distinct
+    over users plus an exact count for reference.  At 100 TB the HLL
+    needs one pass and fixed memory where COUNT(DISTINCT) needs a
+    second shuffle; the pytest tier asserts the estimate lands within
+    5% of exact on the driver tables."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -144,3 +144,89 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.round("mean_luma", 6).alias("mean_luma"),
     ).orderBy("media_id")
+
+
+GAP_US = 30 * 60 * 1_000_000  # session gap (30 min) in microseconds
+
+
+@register(
+    "q_stream_sessions_closed",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, value, EPOCH_US(ts) AS ts_us FROM events
+    ),
+    mx AS (SELECT MAX(ts_us) AS m FROM e),
+    seq AS (
+      SELECT user_id, ts_us, value,
+             CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w >= {GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    labeled AS (
+      SELECT user_id, ts_us, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    ),
+    sessions AS (
+      SELECT user_id,
+             MIN(ts_us) AS session_start_us,
+             MAX(ts_us) + {GAP_US} AS session_end_us,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS session_value
+      FROM labeled GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events,
+           session_value
+    FROM sessions, mx
+    WHERE session_end_us <= m - CAST({WATERMARK_H} AS BIGINT) * 3600 * 1000000
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q_stream_sessions_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming session windows (30-min gap), run to
+    completion and gated on the closed-session set.  Spark merges
+    events into one session while consecutive gaps are STRICTLY less
+    than the gap (each event's window is [ts, ts+gap), touching
+    windows don't merge); a session is emitted once the watermark
+    (max event time − 2 h) passes its end (= last event + gap).  Both
+    rules are replayed exactly by the oracle's sessionization SQL.
+
+    Scale: streaming state is bounded by live sessions within the
+    watermark horizon; the batch-shape twin is q_sessionize."""
+    from ..streaming.jobs import session_stats
+
+    run_id = uuid.uuid4().hex[:12]
+    base = _SCRATCH / f"sess_{run_id}"
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    try:
+        events_table(spark, sf_dir).select(
+            "ts", "user_id", "value"
+        ).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_to_completion(
+            session_stats(
+                stream, gap="30 minutes", watermark=f"{WATERMARK_H} hours"
+            ),
+            sink,
+            ckpt,
+        )
+        out = (
+            spark.read.parquet(sink)
+            .select(
+                "user_id",
+                F.unix_micros("session_start").alias("session_start_us"),
+                F.unix_micros("session_end").alias("session_end_us"),
+                "n_events",
+                "session_value",
+            )
+            .orderBy("user_id", "session_start_us")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

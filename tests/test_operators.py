@@ -382,3 +382,17 @@ class TestIntervalJoin:
             start_us="lo", end_us="hi", bucket_width_us=10,
         ).collect()
         assert len(rows) == 1  # interval replicated 101x, pair meets once
+
+
+class TestApproxSketch:
+    def test_hll_within_tolerance(self, spark):
+        from omim_spark.workload import QUERIES
+
+        rows = QUERIES["q_approx_distinct_sketch"].fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert abs(r.approx_users - r.exact_users) <= max(
+                0.05 * r.exact_users, 2
+            )
