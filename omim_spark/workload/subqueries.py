@@ -209,6 +209,33 @@ sql_query(
 )
 
 sql_query(
+    "q20_dominant_supplier",
+    """
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l1.l_suppkey
+      FROM lineitem l1
+      WHERE l1.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+        )
+        AND l1.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l1.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l1.l_suppkey, l1.l_partkey
+      HAVING SUM(CAST(l1.l_quantity AS DECIMAL(18,6))) > 0.5 * (
+        SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,6)))
+        FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      )
+    )
+    ORDER BY s_name
+    """,
+)
+
+sql_query(
     "q22_global_avg_balance",
     """
     SELECT c_mktsegment, COUNT(*) AS n_rich_inactive,

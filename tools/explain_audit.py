@@ -50,6 +50,12 @@ AUDITS: dict[str, dict] = {
     "q21_exists_not_exists": {
         "require": ["LeftSemi", "LeftAnti"],
     },
+    "q20_dominant_supplier": {
+        # nested IN + correlated scalar agg in HAVING: both must
+        # decorrelate (semi joins + aggregated join, no per-row exec)
+        "require": ["LeftSemi"],
+        "forbid": ["CartesianProduct"],
+    },
     "q17_small_quantity_revenue": {
         # correlated scalar subquery -> aggregated join, no per-row exec
         "forbid": ["CartesianProduct"],
