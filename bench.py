@@ -27,6 +27,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("omim-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Released localCheckpoint accumulators log a benign ERROR from
+    # DAGScheduler ("Failed to update accumulator ... non-existent");
+    # raise that one logger to FATAL so the bench tail stays readable.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass
 
     # Warmup outside the timed region: run every headline plan once at
     # the smallest scale factor so codegen compilation, parquet reader

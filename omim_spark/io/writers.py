@@ -80,21 +80,23 @@ def ttl_lines(triples: DataFrame) -> DataFrame:
 
 
 def write_ttl(triples: DataFrame, path: str) -> None:
-    """Serialize to a single Turtle file (coalesce(1) — the output is
-    a curated-ontology artifact, small by construction even when the
-    inputs are huge; the sort is distributed, only the final write is
-    single-stream)."""
+    """Serialize to a single Turtle file.  The sort is distributed;
+    rows stream to the file via ``toLocalIterator`` one partition at a
+    time, so the driver never materializes the whole body — an
+    arbitrarily large triple set writes in bounded memory (the
+    single-file format itself is the only serial stage, as with any
+    curated-ontology artifact)."""
     header = [f"@prefix {p}: <{uri}> ." for p, uri in sorted(NAMESPACES.items())]
     header.append(f"@prefix xsd: <{_XSD}> .")
-    header.append(f"@prefix obo: <http://purl.obolibrary.org/obo/> .")
+    header.append("@prefix obo: <http://purl.obolibrary.org/obo/> .")
     header.append(
         "@prefix NCBITaxon: <http://purl.obolibrary.org/obo/NCBITaxon_> ."
     )
     body = ttl_lines(triples).orderBy("sort_key").select("line")
-    lines = [r.line for r in body.collect()]
     with open(path, "w") as f:
         f.write("\n".join(header) + "\n\n")
-        f.write("\n".join(lines) + "\n")
+        for r in body.toLocalIterator():
+            f.write(r.line + "\n")
 
 
 def write_tsv(
@@ -102,17 +104,37 @@ def write_tsv(
 ) -> None:
     """Ordered single-file TSV (S10/S11): optional ROBOT directive
     second row (reference main.py:512-519,
-    mondo_omim_genes_robot_tsv.py:11-41)."""
+    mondo_omim_genes_robot_tsv.py:11-41).  Streams ordered partitions
+    through the driver (``toLocalIterator``) instead of collecting —
+    bounded driver memory for any input size."""
     cols = df.columns
-    rows = df.orderBy(*order_by).collect()
     with open(path, "w") as f:
         f.write("\t".join(cols) + "\n")
         if subheader is not None:
             f.write("\t".join(subheader) + "\n")
-        for r in rows:
+        for r in df.orderBy(*order_by).toLocalIterator():
             f.write(
                 "\t".join("" if v is None else str(v) for v in r) + "\n"
             )
+
+
+def write_csv(df: DataFrame, path: str, order_by: list[str]) -> None:
+    """Analysis CSV sink (S13; reference analyses write pandas
+    ``to_csv`` outputs, e.g. analyses/equivalency_cliques.py:141-150).
+    RFC-4180 quoting for cells containing comma/quote/newline; ordered,
+    single file, streamed through the driver in bounded memory."""
+
+    def cell(v) -> str:
+        s = "" if v is None else str(v)
+        if any(c in s for c in (",", '"', "\n", "\r")):
+            s = '"' + s.replace('"', '""') + '"'
+        return s
+
+    cols = df.columns
+    with open(path, "w") as f:
+        f.write(",".join(cell(c) for c in cols) + "\n")
+        for r in df.orderBy(*order_by).toLocalIterator():
+            f.write(",".join(cell(v) for v in r) + "\n")
 
 
 def write_parquet_sorted(df: DataFrame, path: str, order_by: list[str]) -> None:

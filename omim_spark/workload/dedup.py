@@ -41,6 +41,7 @@ SHINGLE_DUCK = (
 
 N_MINHASH = 8  # 4 bands × 2 rows
 N_BANDS = 4
+MAX_DF = 20  # hot-shingle document-frequency cap (production funnel)
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,10 +96,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle=f"""
     WITH {_SHINGLE_CTE_DUCK},
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {MAX_DF}),
+    shc AS (SELECT sh.* FROM sh ANTI JOIN hot USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b, n_common,
@@ -112,24 +115,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup detection via an inverted-index join on
-    shared shingles (never a cross product).
-
-    Scale: the join fans out by shingle-bucket size; at 100 TB the
-    hot shingles (boilerplate) need a frequency cap — handled in
-    omim_spark.operators.dedup with a document-frequency filter; here
-    the synthetic vocabulary is small enough to skip it."""
-    # Materialize once (three consumers below) and join on 64-bit
-    # hashes instead of full shingle strings — at 100 TB this is the
-    # difference between shuffling ~20-byte keys and ~100-byte keys;
-    # xxhash64 collisions are ~1e-11 at this cardinality, and the
+    shared shingles (never a cross product), with the hot-shingle
+    document-frequency cap (df > {MAX_DF} dropped) that bounds the
+    per-shingle fan-out: without it one boilerplate shingle at 100 TB
+    expands quadratically inside its bucket.  The cap is deterministic
+    and mirrored in the oracle, so similarity is exact Jaccard over the
+    capped shingle universe."""
+    # Materialize once (df filter + three consumers below) and join on
+    # 64-bit hashes instead of full shingle strings — at 100 TB this is
+    # the difference between shuffling ~20-byte keys and ~100-byte
+    # keys; xxhash64 collisions are ~1e-11 at this cardinality, and the
     # verification tier recomputes true Jaccard anyway.
     sh = (
         _shingles(spark, sf_dir)
         .select("doc_id", F.xxhash64("s").alias("s"))
         .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("s")
+    )
+    shc = sh.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(eager=False)
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shc.alias("a"), shc.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -412,9 +422,6 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
-
-
-MAX_DF = 20  # hot-shingle document-frequency cap (production funnel)
 
 
 @register(

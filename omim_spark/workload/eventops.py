@@ -80,7 +80,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events,
            (MAX(ts_us) - MIN(ts_us)) // 1000000 AS duration_s,
            {_dsum_sql('value')} AS session_value
@@ -132,7 +132,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_props",
     oracle=f"""
     SELECT event_type,
-           SUM(CAST(REGEXP_EXTRACT(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS k_total,
+           CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\\s*(\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS k_total,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type

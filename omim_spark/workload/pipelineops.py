@@ -42,7 +42,8 @@ _BUCKET_SQL = (
              LEN(STRING_SPLIT(text, ' ')) AS n_tok
       FROM documents
     )
-    SELECT source, split, COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM b GROUP BY source, split ORDER BY source, split
     """,
 )
@@ -74,7 +75,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_BUCKET_SQL.format(key='doc_id')} AS bucket
       FROM documents
     )
-    SELECT source, COUNT(*) AS n_kept, SUM(doc_id) AS id_sum,
+    SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
            MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
     FROM w WHERE bucket < wt * 256
     GROUP BY source ORDER BY source
@@ -163,7 +164,7 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT source, CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS pack_id,
-           COUNT(*) AS n_docs, SUM(n_tok) AS pack_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
     FROM c GROUP BY source, pack_id ORDER BY source, pack_id
     """,
 )
@@ -267,7 +268,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            MAX(c) AS top_bigram_n,
-           SUM(c) AS n_bigrams,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
            CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
              AS dup_bigram_frac
     FROM counts GROUP BY doc_id ORDER BY doc_id

@@ -166,8 +166,8 @@ GAP_US = 30 * 60 * 1_000_000  # session gap (30 min) in microseconds
     ),
     labeled AS (
       SELECT user_id, ts_us, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM seq
     ),
     sessions AS (

@@ -65,9 +65,11 @@ sql_query(
     "q12_case_agg_shipmode",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT)
              AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -373,7 +375,7 @@ sql_query(
       FROM seq GROUP BY user_id, event_type, grp
     )
     SELECT user_id, event_type, COUNT(*) AS n_runs, MAX(run_len) AS max_run,
-           SUM(run_len) AS n_events
+           CAST(SUM(run_len) AS BIGINT) AS n_events
     FROM islands GROUP BY user_id, event_type
     ORDER BY user_id, event_type
     """,

@@ -299,8 +299,9 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count_bpe",
     oracle="""
     SELECT source,
-           SUM(LEN(STRING_SPLIT(text, ' '))) AS ws_tokens,
-           SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_ish_tokens,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS BIGINT) AS bpe_ish_tokens,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY source

