@@ -107,9 +107,10 @@ AUDITS: dict[str, dict] = {
         "min_bhj": 2,
     },
     "q_dedup_ngram_jaccard": {
-        # the hot-shingle df-cap must apply as a BROADCAST anti join
-        # (shipping the small hot list, not re-shuffling all shingles)
-        "min_bhj": 1,
+        # the hot-shingle df-cap is an unordered count window on the
+        # same hash-partitioning the self-join consumes (exchange
+        # reused at runtime) — no sort, no cross product
+        "require": ["Window"],
         "forbid": ["CartesianProduct"],
         "max_scan_cols": {"documents": 2},
     },
