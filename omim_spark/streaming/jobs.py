@@ -70,6 +70,54 @@ def session_stats(
     )
 
 
+def interval_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_lag: str = "6 hours",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: each purchase joined to every
+    click by the same user within ``max_lag`` before it.
+
+    Both sides carry a watermark plus the time-range join condition, so
+    Spark bounds each side's state buffer to the watermark + lag
+    horizon — the state-store size is (horizon × per-user rate), not
+    the stream length, which is what makes the join deployable 24/7.
+    Inner-join rows emit as soon as both sides are present (the
+    watermark gates state eviction, not emission)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"""c_user = p_user
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + INTERVAL {max_lag}"""
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / 1_000_000
+        )
+        .cast("long")
+        .alias("lag_s"),
+        "amount",
+    )
+
+
 def run_to_completion(stream_df: DataFrame, sink_path: str, checkpoint: str) -> None:
     """Drain all available input (Trigger.AvailableNow) into a parquet
     sink — micro-batch semantics with a bounded run, used by tests and

@@ -85,6 +85,7 @@ _VERIFY_FIRST = [
     "q_merge_upsert_delta",
     "q_label_propagation",
     "q_salted_skew_agg",
+    "q_stream_interval_join",
 ]
 
 

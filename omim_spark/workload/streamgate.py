@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import extract_image_features
-from ..streaming.jobs import hourly_rollup, run_to_completion
+from ..streaming.jobs import (
+    hourly_rollup,
+    interval_join_stream,
+    run_to_completion,
+)
 from .registry import events_table, register, table
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
@@ -225,6 +229,67 @@ def q_stream_sessions_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "session_value",
             )
             .orderBy("user_id", "session_start_us")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+MAX_LAG_H = 6  # click→purchase attribution horizon (hours)
+
+
+@register(
+    "q_stream_interval_join",
+    oracle=f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           (EPOCH_US(p.ts) - EPOCH_US(c.ts)) // 1000000 AS lag_s,
+           p.value AS amount
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL {MAX_LAG_H} HOUR
+    ORDER BY c.user_id, click_id, purchase_id
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within
+    {MAX_LAG_H} h) through the REAL streaming join machinery — two
+    watermarked file streams, both-side state buffering, time-range
+    join condition — run to completion and compared to the plain batch
+    interval join.
+
+    Determinism: the source lands as ONE parquet file, so AvailableNow
+    processes it in a single micro-batch and no row can arrive behind
+    an already-advanced watermark; inner-join emission is then exactly
+    the batch join result.  (The watermark still exercises state
+    eviction sizing — at 24/7 scale the state buffer is watermark+lag
+    horizon × per-user rate, not stream length.)
+
+    Scale: joins shuffle both streams by user_id once; the batch-shape
+    twin is q_interval_join_attribution / q_asof_click_purchase."""
+    run_id = uuid.uuid4().hex[:12]
+    base = _SCRATCH / f"ivj_{run_id}"
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    try:
+        events_table(spark, sf_dir).select(
+            "ts", "user_id", "event_type", "event_id", "value"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        joined = interval_join_stream(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            max_lag=f"{MAX_LAG_H} hours",
+            watermark="48 hours",
+        )
+        run_to_completion(joined, sink, ckpt)
+        out = (
+            spark.read.parquet(sink)
+            .select("user_id", "click_id", "purchase_id", "lag_s", "amount")
+            .orderBy("user_id", "click_id", "purchase_id")
             .localCheckpoint(eager=True)
         )
         return out
