@@ -396,3 +396,92 @@ def q_tf_df_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tf"), F.asc("term"))
         .limit(100)
     )
+
+
+# BM25 constants + the scoring expression, shared VERBATIM between the
+# Spark plan (F.expr) and the DuckDB oracle so the floating-point
+# evaluation order is textually identical on both engines.  Per-term
+# scores round through DECIMAL(18,6) before the per-doc sum, making the
+# sum order-independent (the last-ulp libm ln() difference is absorbed
+# by the 6-dp rounding).
+BM25_TERMS = ("join", "filter", "stream", "merge", "scan")
+_BM25_EXPR = (
+    "LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+    " * (tf * (1.2 + 1.0))"
+    " / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+)
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+    dl AS (SELECT doc_id, LEN(tk) AS dl FROM d),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    toks AS (SELECT doc_id, UNNEST(tk) AS t FROM d),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM toks
+      WHERE t IN ({_TERMS_SQL}) GROUP BY doc_id, t
+    ),
+    dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id, {_BM25_EXPR} AS term_score
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN dft ON tf.t = dft.t
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS score,
+           COUNT(*) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 15
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed term set,
+    top-15 documents — the scoring path of a search/retrieval stage
+    over a training corpus.
+
+    Scale: tokens explode map-side and the per-(doc,term) partial agg
+    combines before the shuffle; df and the corpus stats are tiny
+    aggregates broadcast back onto the term-frequency table (two
+    broadcast joins, one 1-row cross join); the final top-k is
+    TakeOrdered, never a global sort."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    dl = docs.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    toks = docs.select("doc_id", F.explode("tk").alias("t"))
+    tf = (
+        toks.filter(F.col("t").isin(*BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("t").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "t")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.expr(_BM25_EXPR).alias("term_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("term_score").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(15)
+    )

@@ -132,6 +132,13 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct"],
         "max_scan_cols": {"orders": 3, "lineitem": 2},
     },
+    "q_bm25_topk": {
+        # df + corpus stats broadcast back onto tf; top-k never a
+        # global sort
+        "require": ["TakeOrderedAndProject"],
+        "min_bhj": 2,
+        "max_scan_cols": {"documents": 2},
+    },
 }
 
 
