@@ -295,3 +295,55 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_stream_stateful_dedup",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key, COUNT(*) AS first_batch_rows
+    FROM events GROUP BY user_id ORDER BY key
+    """,
+)
+def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom-stateful path (applyInPandasWithState) under the
+    gate: streaming first-seen dedup emits each key once with the row
+    count of its first-arrival batch.  With a single-file source the
+    whole stream is one micro-batch, so every key's first batch holds
+    ALL its rows and the emitted set equals a plain GROUP BY count —
+    while still executing the real state-store + Arrow state machinery
+    (update mode, foreachBatch sink).
+
+    Scale: state is one row per distinct key, sharded by the group-key
+    shuffle; a production deployment adds a GroupStateTimeout TTL to
+    bound cardinality.  Batch twin: operators.dedup.exact_dedup."""
+    from ..streaming.stateful import first_seen_filter
+
+    run_id = uuid.uuid4().hex[:12]
+    base = _SCRATCH / f"dedup_{run_id}"
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    try:
+        events_table(spark, sf_dir).select("user_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def land(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(sink)
+
+        (
+            first_seen_filter(stream, "user_id")
+            .writeStream.foreachBatch(land)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return (
+            spark.read.parquet(sink)
+            .orderBy("key")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
