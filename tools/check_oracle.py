@@ -73,13 +73,34 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    # --plain: use a bare SparkSession (as the external driver does)
+    # instead of omim_spark.session defaults — catches queries that
+    # silently depend on our session confs.  --first-N: only the first
+    # N registry entries in insertion order (the driver's gate window).
+    plain = "--plain" in args
+    args = [a for a in args if a != "--plain"]
+    first_n = None
+    for a in list(args):
+        if a.startswith("--first-"):
+            first_n = int(a.split("-")[-1])
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    from omim_spark.session import get_spark
     from omim_spark.workload import QUERIES
 
-    spark = get_spark("oracle-check")
+    if plain:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from omim_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
+    if first_n is not None:
+        window = set(list(QUERIES)[:first_n])
+        only = (only & window) if only else window
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
