@@ -65,6 +65,43 @@ _SHINGLE_CTE_DUCK = f"""
 """
 
 
+def _mh_cte_duck(src: str) -> str:
+    """The oracle-side mirror of :func:`_minhash_wide`: minhash j is an
+    8-hex-char slice of one of TWO md5s per shingle (j 1-4 slice
+    MD5('1:'||s), j 5-8 slice MD5('2:'||s))."""
+    return f"""
+      SELECT doc_id, j,
+             MIN(SUBSTR(CASE WHEN j <= 4 THEN MD5('1:' || s)
+                             ELSE MD5('2:' || s) END,
+                        ((j - 1) % 4) * 8 + 1, 8)) AS h
+      FROM {src} CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {N_MINHASH})) AS j)
+      GROUP BY doc_id, j
+    """
+
+
+def _minhash_wide(sh: DataFrame) -> DataFrame:
+    """(doc_id, h1..h8): 8 minhash values from TWO md5 evaluations per
+    shingle — md5('1:'||s) and md5('2:'||s), each sliced into four
+    8-hex-char (32-bit) sub-hashes.  Slices of a cryptographic hash are
+    independent enough for minhash, so this quarters the per-shingle
+    hash compute of the naive 8×md5 scheme at an identical plan shape
+    (the md5s are evaluated ONCE per row in a projection; only the
+    cheap substrings sit inside the aggregate).  Mirrored bit-exactly
+    in the oracle by :func:`_mh_cte_duck`."""
+    m1 = F.md5(F.concat(F.lit("1:"), F.col("s")).cast("binary"))
+    m2 = F.md5(F.concat(F.lit("2:"), F.col("s")).cast("binary"))
+    hashed = sh.select("doc_id", m1.alias("m1"), m2.alias("m2"))
+    mins = [
+        F.min(
+            F.substring(
+                F.col("m1") if j <= 4 else F.col("m2"), ((j - 1) % 4) * 8 + 1, 8
+            )
+        ).alias(f"h{j}")
+        for j in range(1, N_MINHASH + 1)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
+
+
 @register(
     "q_dedup_exact",
     headline=True,
@@ -167,11 +204,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle=f"""
     WITH {_SHINGLE_CTE_DUCK},
-    mh AS (
-      SELECT doc_id, j, MIN(MD5(CAST(j AS VARCHAR) || ':' || s)) AS h
-      FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {N_MINHASH})) AS j)
-      GROUP BY doc_id, j
-    ),
+    mh AS ({_mh_cte_duck('sh')}),
     bands AS (
       SELECT doc_id, (j - 1) // 2 AS band,
              MIN(CASE WHEN j % 2 = 1 THEN h END) || '|' ||
@@ -201,7 +234,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding: 8 md5-seeded minhashes, 4 bands × 2 rows;
+    """MinHash + LSH banding: 8 minhashes (four 32-bit slices of each
+    of two seeded md5s, see :func:`_minhash_wide`), 4 bands × 2 rows;
     candidate pairs = docs sharing any band signature; candidates are
     then verified with true Jaccard.
 
@@ -217,13 +251,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All 8 minhashes as ONE map-side-combinable aggregation — no 8×
     # row explosion, no (doc, seed) shuffle: the shuffle carries one
     # row per doc with 8 min columns.
-    mins = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("s")).cast("binary"))
-        ).alias(f"h{j}")
-        for j in range(1, N_MINHASH + 1)
-    ]
-    mh_wide = sh.groupBy("doc_id").agg(*mins)
+    mh_wide = _minhash_wide(sh)
     band_pairs = ", ".join(
         f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
     )
@@ -315,11 +343,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUNNEL_CTES = f"""
     WITH RECURSIVE {_SHINGLE_CTE_DUCK},
-    mh AS (
-      SELECT doc_id, j, MIN(MD5(CAST(j AS VARCHAR) || ':' || s)) AS h
-      FROM sh CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {N_MINHASH})) AS j)
-      GROUP BY doc_id, j
-    ),
+    mh AS ({_mh_cte_duck('sh')}),
     bands AS (
       SELECT doc_id, (j - 1) // 2 AS band,
              MIN(CASE WHEN j % 2 = 1 THEN h END) || '|' ||
@@ -385,13 +409,7 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
     sh_h = sh.select("doc_id", F.xxhash64("s").alias("s"))
-    mins = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("s")).cast("binary"))
-        ).alias(f"h{j}")
-        for j in range(1, N_MINHASH + 1)
-    ]
-    mh_wide = sh.groupBy("doc_id").agg(*mins)
+    mh_wide = _minhash_wide(sh)
     band_pairs = ", ".join(
         f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
     )
@@ -431,11 +449,7 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLE_CTE_DUCK},
     hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {MAX_DF}),
     shc AS (SELECT doc_id, s FROM sh ANTI JOIN hot USING (s)),
-    mh AS (
-      SELECT doc_id, j, MIN(MD5(CAST(j AS VARCHAR) || ':' || s)) AS h
-      FROM shc CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {N_MINHASH})) AS j)
-      GROUP BY doc_id, j
-    ),
+    mh AS ({_mh_cte_duck('shc')}),
     bands AS (
       SELECT doc_id, (j - 1) // 2 AS band,
              MIN(CASE WHEN j % 2 = 1 THEN h END) || '|' ||
@@ -480,13 +494,7 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shc = sh.join(F.broadcast(hot), "s", "left_anti").localCheckpoint(eager=False)
     shc_h = shc.select("doc_id", F.xxhash64("s").alias("s"))
-    mins = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("s")).cast("binary"))
-        ).alias(f"h{j}")
-        for j in range(1, N_MINHASH + 1)
-    ]
-    mh_wide = shc.groupBy("doc_id").agg(*mins)
+    mh_wide = _minhash_wide(shc)
     band_pairs = ", ".join(
         f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
     )
