@@ -223,3 +223,120 @@ def dedup_pipeline(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def token_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """(id, pos, span): every length-``n`` token window with its
+    1-based start position — the span-level unit of exact substring
+    deduplication (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", 2022: duplicated *spans* are located and
+    excisable from otherwise-unique documents, which doc-level dedup
+    cannot see).
+
+    Scale: ~|tokens| rows per document before aggregation, but
+    downstream groupBys key on md5(span) — a uniform 128-bit hash, so
+    no skew — and the span text itself need never shuffle (project the
+    hash first)."""
+    expr = (
+        f"transform(sequence(1, size(tk) - {n - 1}), "
+        f"i -> struct(i AS pos, concat_ws(' ', slice(tk, i, {n})) AS s))"
+    )
+    return (
+        df.withColumn("tk", tokenize(text_col))
+        .filter(F.size("tk") >= n)
+        .select(F.col(id_col).alias("id"), F.explode(F.expr(expr)).alias("w"))
+        .select("id", F.col("w.pos").cast("long").alias("pos"), F.col("w.s").alias("span"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring dedup, detection tier: spans of ``n`` tokens
+    whose text occurs in at least ``min_docs`` distinct documents.
+    Returns (span_hash, n_docs, n_occ, first_doc, min_pos).
+
+    One shuffle on the 128-bit span hash; count-distinct of doc ids is
+    partial-aggregated per hash."""
+    sp = token_spans(df, id_col, text_col, n)
+    return (
+        sp.select(
+            "id", "pos", F.md5(F.col("span").cast("binary")).alias("span_hash")
+        )
+        .groupBy("span_hash")
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("id").alias("first_doc"),
+            F.min("pos").alias("min_pos"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    exact ``n``-gram with a held-out benchmark corpus (the standard
+    n-gram-overlap test-set-leakage check in LLM data pipelines).
+    Returns (id, n_hit, n_spans, contamination_ratio) for flagged docs.
+
+    Scale: evaluation suites are tiny relative to the corpus, so the
+    distinct benchmark n-gram set is broadcast and the training side
+    is a map-side semi join — no shuffle of the 100 TB side until the
+    per-doc count (one exchange on doc id)."""
+    t = (
+        train.withColumn("tk", tokenize(text_col))
+        .filter(F.size("tk") >= n)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(tk) - {n - 1}), "
+                    f"i -> concat_ws(' ', slice(tk, i, {n}))))"
+                )
+            ).alias("s"),
+        )
+        .select("id", F.xxhash64("s").alias("s"))
+    )
+    b = (
+        bench.withColumn("tk", tokenize(text_col))
+        .filter(F.size("tk") >= n)
+        .select(
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(tk) - {n - 1}), "
+                    f"i -> concat_ws(' ', slice(tk, i, {n}))))"
+                )
+            ).alias("s")
+        )
+        .select(F.xxhash64("s").alias("s"))
+        .distinct()
+    )
+    t = t.localCheckpoint(eager=False)
+    hits = t.join(F.broadcast(b), "s", "left_semi").groupBy("id").agg(
+        F.count("*").alias("n_hit")
+    )
+    sizes = t.groupBy("id").agg(F.count("*").alias("n_spans"))
+    return hits.join(sizes, "id").select(
+        "id",
+        "n_hit",
+        "n_spans",
+        (F.col("n_hit").cast("double") / F.col("n_spans").cast("double")).alias(
+            "contamination_ratio"
+        ),
+    )

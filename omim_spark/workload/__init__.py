@@ -23,6 +23,7 @@ from . import subqueries  # noqa: E402,F401
 from . import pipelineops  # noqa: E402,F401
 from . import streamgate  # noqa: E402,F401
 from . import graphiter  # noqa: E402,F401
+from . import spans  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
 # insertion order.  Round 1 checked entries 0-49 (relational/textops/dedup/

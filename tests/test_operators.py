@@ -396,3 +396,24 @@ class TestApproxSketch:
             assert abs(r.approx_users - r.exact_users) <= max(
                 0.05 * r.exact_users, 2
             )
+
+
+class TestSpanOps:
+    def test_duplicate_spans_stats(self, docs):
+        out = dedup.duplicate_spans(docs, n=8).collect()
+        # "the quick brown fox jumps over the lazy" at pos 1 of docs
+        # 1/2/3; "quick brown fox jumps over the lazy dog" at pos 2 of
+        # docs 1/2.  Shuffled doc 4 and leaps-doc 6 share nothing.
+        stats = sorted((r.n_docs, r.n_occ, r.first_doc, r.min_pos) for r in out)
+        assert stats == [(2, 2, 1, 2), (3, 3, 1, 1)]
+
+    def test_decontaminate_flags_overlap(self, spark, docs):
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            ["doc_id", "text"],
+        )
+        out = dedup.decontaminate(docs, bench, n=8).collect()
+        m = {r.id: (r.n_hit, r.n_spans) for r in out}
+        assert m == {1: (2, 2), 2: (2, 2), 3: (1, 2)}
+        ratios = {r.id: r.contamination_ratio for r in out}
+        assert ratios[3] == 0.5
