@@ -1,0 +1,116 @@
+"""Runtime (AQE-era) plan invariants: the two mitigations the engine
+relies on at 100 TB that only materialize during or just before
+execution — AQE skew-join splitting and runtime bloom-filter pushdown
+— demonstrated and asserted against real executed plans.
+
+These complement tests/test_plans.py (static plan invariants): a
+cluster deployment gets these for free ONLY if the confs are sane, so
+the tests double as documentation of the exact knobs involved.
+"""
+
+import contextlib
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@contextlib.contextmanager
+def confs(spark, **kv):
+    old = {}
+    for k, v in kv.items():
+        key = k.replace("__", ".")
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+class TestAqeSkewJoin:
+    def test_skewed_partition_is_split(self, spark):
+        """A 90%-hot join key must be split by OptimizeSkewedJoin into
+        multiple tasks (SortMergeJoin(skew=true)) instead of one
+        straggler task processing 90% of the rows — the AQE tier of
+        skew handling that complements the explicit salting in
+        operators/skew.py (which covers aggregations and joins AQE
+        cannot rewrite)."""
+        with confs(
+            spark,
+            **{
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.skewJoin.enabled": "true",
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+            },
+        ):
+            left = spark.range(0, 500_000).select(
+                F.when(F.col("id") < 450_000, F.lit(0))
+                .otherwise(F.col("id"))
+                .alias("k"),
+                # incompressible payload so shuffle-partition byte sizes
+                # reflect the row skew (a bare constant key compresses
+                # to nothing and dodges the size-based detector)
+                F.md5(F.col("id").cast("string")).alias("pad"),
+            )
+            right = spark.range(0, 1_000).select(
+                F.col("id").alias("k"), F.lit("r").alias("v")
+            )
+            out = left.join(right, "k").agg(
+                F.count("*").alias("n"), F.max("pad").alias("mp")
+            )
+            [row] = out.collect()
+            assert row.n == 450_000  # correctness unchanged by the split
+            final = out._jdf.queryExecution().executedPlan().toString()
+            final = final.split("== Initial Plan ==")[0]
+            assert "skew=true" in final, final
+            assert "skewed" in final  # AQEShuffleRead ... skewed
+
+
+class TestRuntimeBloomFilter:
+    def test_bloom_filter_injected_on_probe_side(self, spark):
+        """A selective dimension filter must be re-applied to the fact
+        side as a runtime bloom filter (bloom_filter_agg on the build
+        side, might_contain on the probe scan): at 100 TB this prunes
+        fact rows BEFORE the join shuffle, the single biggest saving a
+        shuffled star join can get when broadcast is off the table."""
+        with confs(
+            spark,
+            **{
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+                # local test files are KBs; production default (10GB
+                # probe-side minimum) would correctly suppress it there
+                "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            },
+        ):
+            part = spark.read.parquet(f"{SF_DIR}/part.parquet").filter(
+                "p_size = 1"
+            )
+            li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            out = li.join(part, li.l_partkey == part.p_partkey).agg(
+                F.count("*").alias("n")
+            )
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+            plan = out._jdf.queryExecution().explainString(mode)
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+            # and it still computes the right thing
+            [row] = out.collect()
+            expected = (
+                li.join(part.hint("broadcast"), li.l_partkey == part.p_partkey)
+                .count()
+            )
+            assert row.n == expected
