@@ -90,9 +90,10 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training documents (source ≠
-    '{BENCH_SOURCE}') sharing any exact 8-gram with the benchmark
-    corpus (source = '{BENCH_SOURCE}'), with hit counts and the
-    contaminated fraction of each doc's distinct 8-grams.
+    BENCH_SOURCE) sharing any exact 8-gram with the benchmark corpus
+    (source = BENCH_SOURCE, standing in for an evaluation suite), with
+    hit counts and the contaminated fraction of each doc's distinct
+    8-grams.
 
     Scale: the benchmark side of a decontamination run is MBs against
     a 100 TB corpus — broadcast semi join on 64-bit span hashes; the

@@ -30,6 +30,8 @@ QUERIES_TO_PROBE = [
     "q_knn_bruteforce",
     "q_token_count_bpe",
     "q_train_test_split",
+    "q_substring_spans",
+    "q_decontaminate",
 ]
 
 
