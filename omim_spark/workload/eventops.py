@@ -385,3 +385,81 @@ def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+GAPFILL_MIN_VALUE = 250.0  # rare-event filter => day-level gaps at every sf
+
+
+@register(
+    "q_gapfill_locf",
+    oracle=f"""
+    WITH e AS (SELECT * FROM events WHERE value > {GAPFILL_MIN_VALUE}),
+    daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS d,
+             COUNT(*) AS n_events,
+             {_dsum_sql('value')} AS day_value
+      FROM e GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+    types AS (SELECT DISTINCT event_type FROM daily),
+    spine AS (
+      SELECT event_type, UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 DAY)) AS d
+      FROM types CROSS JOIN bounds
+    ),
+    j AS (
+      SELECT s.event_type, s.d, daily.n_events, daily.day_value
+      FROM spine s
+      LEFT JOIN daily ON s.event_type = daily.event_type AND s.d = daily.d
+    )
+    SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS day,
+           COALESCE(n_events, 0) AS n_events,
+           day_value IS NULL AS is_gap,
+           LAST_VALUE(day_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM j
+    ORDER BY event_type, day
+    """,
+)
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: a dense daily spine per event_type
+    (generated from broadcast global bounds) left-joined onto a sparse
+    rare-event rollup, missing buckets carried forward with
+    last-observation-carried-forward (timescaledb-style
+    time_bucket_gapfill + locf, here as pure DataFrame ops:
+    sequence/explode + last(ignorenulls) window).
+
+    Scale: the LOCF window runs over the ROLLUP (|keys| × |buckets|
+    rows — small by construction), never over raw events; the spine is
+    |keys| × |days| generated map-side from a broadcast 1-row bounds
+    frame, and the rare-event filter is pushed to the scan."""
+    ev = events_table(spark, sf_dir).filter(F.col("value") > GAPFILL_MIN_VALUE)
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("day_value"))
+    # the three consumers (bounds, types, join) branch from the SAME
+    # groupBy subtree: its exchange is computed once and reused at
+    # runtime (ReusedExchange), so no checkpoint is needed and the
+    # scan-level pushdown stays visible to the plan audit
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    types = daily.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("day_value").isNull().alias("is_gap"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -132,6 +132,15 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct"],
         "max_scan_cols": {"orders": 3, "lineitem": 2},
     },
+    "q_gapfill_locf": {
+        # rare-event filter reaches the scan; spine bounds broadcast;
+        # LOCF window runs on the rollup, never a cross product
+        "pushed": r"GreaterThan\(value,250\.0\)",
+        "require": ["Window"],
+        "min_bhj": 1,
+        "max_scan_cols": {"events": 3},
+        "forbid": ["CartesianProduct"],
+    },
     "q_bm25_topk": {
         # df + corpus stats broadcast back onto tf; top-k never a
         # global sort
