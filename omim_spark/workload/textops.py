@@ -485,3 +485,48 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(15)
     )
+
+
+@register(
+    "q_array_hof_zoo",
+    oracle="""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents)
+    SELECT doc_id,
+           LEN(LIST_FILTER(tk, x -> LENGTH(x) > 4)) AS n_long,
+           CAST(LIST_SUM(LIST_TRANSFORM(tk, x -> LENGTH(x))) AS BIGINT) AS sum_len,
+           LIST_MAX(LIST_TRANSFORM(tk, x -> LENGTH(x))) AS max_len,
+           ARRAY_TO_STRING(LIST_SLICE(LIST_SORT(LIST_DISTINCT(tk)), 1, 3), '-')
+             AS first3,
+           LIST_CONTAINS(tk, 'the') AS has_the
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def q_array_hof_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface (§2.7 array tier) in one
+    oracle-checked sweep: lambda filter, lambda fold (aggregate),
+    element-wise transform + array_max, distinct→sort→slice→join, and
+    membership — every construct paired with its DuckDB list_*
+    equivalent so the semantics (1-based slicing, binary string sort,
+    char-wise length) are pinned cross-engine.
+
+    Scale: all expressions are per-row whole-stage-codegen — zero
+    shuffles besides the output sort; the token array is bound once
+    (HOF lambdas never re-split the text)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("tk", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.expr("size(filter(tk, x -> length(x) > 4))").alias("n_long"),
+            F.expr("aggregate(tk, 0L, (acc, x) -> acc + length(x))").alias(
+                "sum_len"
+            ),
+            F.expr("array_max(transform(tk, x -> length(x)))").alias("max_len"),
+            F.expr(
+                "concat_ws('-', slice(array_sort(array_distinct(tk)), 1, 3))"
+            ).alias("first3"),
+            F.array_contains("tk", "the").alias("has_the"),
+        )
+        .orderBy("doc_id")
+    )
