@@ -30,6 +30,16 @@ from . import spans  # noqa: E402,F401
 # similarity/eventops); the remaining 41 got no hard signal.  Front-load
 # whatever has not yet been driver-verified — plus anything modified this
 # round — so every query earns a green CORRECTNESS row across rounds.
+#
+# Rotation ledger for round 3+ (update each round):
+# - never driver-checked after round 2: q_bm25_topk,
+#   q_stream_stateful_dedup, q_substring_spans, q_decontaminate,
+#   q_gapfill_locf, q_array_hof_zoo (added after the r2 window froze);
+# - modified after their round-1 green (local replica re-verified, but
+#   driver signal is stale): q_dedup_minhash_lsh,
+#   q_dedup_cluster_survivors, q_dedup_lsh_capped (two-md5 minhash);
+# - everything else was driver-green in round 1 (old 0-49) or sits in
+#   the round-2 window below.
 _VERIFY_FIRST = [
     # Fixed this round (DuckDB SUM(int)->HUGEINT hash mismatches).
     "q_token_count_bpe",
