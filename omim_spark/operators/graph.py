@@ -62,3 +62,56 @@ def propagate_min_labels(
         if checkpoint:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def pagerank_steps(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """K power-iteration steps of PageRank over a directed edge list,
+    in integer micro-units: ranks start at ``unit``, a node passes
+    ``rank div outdegree`` along each out-edge, and the damping mix is
+    ``(100-d)%·unit + (d%·incoming) div 100`` — all 64-bit integer
+    arithmetic with floor division, so the result is bit-identical on
+    any engine/cluster topology (no float summation-order drift) and
+    exactly oracle-checkable by unrolling the K rounds in SQL.
+    Dangling-node mass is dropped (the standard simplification).
+    Returns (node, pr).
+
+    Scale: each round is one join of edges onto the rank table plus
+    one sum-aggregate shuffle on the destination key — partial-agged,
+    skew bounded by in-degree; lineage truncated per round so the plan
+    stays flat regardless of K.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("u").agg(F.count("*").alias("d"))
+    ed = e.join(outdeg, "u")
+    base = (unit * (100 - damping_pct)) // 100
+    ranks = nodes.select("node", F.lit(unit).cast("long").alias("pr"))
+    for _ in range(rounds):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), F.expr("pr div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(contrib, 0L)) div 100")
+            ).alias("pr"),
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks

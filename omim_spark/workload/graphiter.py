@@ -279,3 +279,65 @@ def q_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return out.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact PageRank steps (operators/graph.py:pagerank_steps)
+# ---------------------------------------------------------------------------
+
+_PR_ROUNDS = 3
+
+
+def _pr_oracle(rounds: int) -> str:
+    """Unroll K PageRank power-iteration rounds as chained CTEs with
+    the SAME integer floor-division arithmetic as the DataFrame loop —
+    agreement is bit-exact, not approximate."""
+    parts = [
+        f"WITH e AS ({_EDGE_SQL}),",
+        "od AS (SELECT u, COUNT(*) AS d FROM e GROUP BY u),",
+        "nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", c{i} AS (SELECT e.v AS node,"
+            f" CAST(SUM(r{i-1}.pr // od.d) AS BIGINT) AS contrib"
+            f" FROM e JOIN od ON e.u = od.u"
+            f" JOIN r{i-1} ON r{i-1}.node = e.u GROUP BY e.v)"
+        )
+        parts.append(
+            f", r{i} AS (SELECT n.node,"
+            f" CAST(150000 + (85 * COALESCE(c{i}.contrib, 0)) // 100 AS BIGINT) AS pr"
+            f" FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.node)"
+        )
+    parts.append(
+        f"SELECT node, pr FROM r{rounds} ORDER BY pr DESC, node LIMIT 25"
+    )
+    return "\n".join(parts)
+
+
+@register("q_pagerank_steps", oracle=_pr_oracle(_PR_ROUNDS))
+def q_pagerank_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 nodes after K=3 integer-exact PageRank steps over the
+    Q1-1997 customer-supplier graph (same edge list as
+    q_label_propagation).  Integer micro-unit arithmetic makes the
+    iterative computation deterministic across engines and cluster
+    topologies — the property that lets an iterative op live under the
+    exact-hash oracle gate at all."""
+    from omim_spark.operators.graph import pagerank_steps
+
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).cast("long").alias("src"),
+            (F.col("l_suppkey") * 2 + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_steps(edges, _PR_ROUNDS)
+    return ranks.orderBy(F.col("pr").desc(), "node").limit(25)

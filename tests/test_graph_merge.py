@@ -113,3 +113,27 @@ class TestLabelPropagation:
             for r in propagate_min_labels(edges, 2, checkpoint=False).collect()
         )
         assert a == b
+
+
+class TestPagerankSteps:
+    def test_two_rounds_hand_computed(self, spark):
+        from omim_spark.operators.graph import pagerank_steps
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 1)], ["src", "dst"]
+        )
+        out = {r.node: r.pr for r in pagerank_steps(edges, 2).collect()}
+        # unit=1_000_000, base=150_000, damping 85%:
+        # r1 = {1: 1_000_000, 2: 575_000, 3: 1_425_000}
+        # r2(1) = 150000 + 85*1425000//100 = 1_361_250
+        # r2(3) = 150000 + 85*(500000+575000)//100 = 1_063_750
+        assert out == {1: 1_361_250, 2: 575_000, 3: 1_063_750}
+
+    def test_dangling_and_isolated_target(self, spark):
+        from omim_spark.operators.graph import pagerank_steps
+
+        # 2 is dangling (no out-edges): its mass drops, it still gets
+        # a rank row; 1 receives nothing -> base only after round 1
+        edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+        out = {r.node: r.pr for r in pagerank_steps(edges, 1).collect()}
+        assert out == {1: 150_000, 2: 1_000_000}
