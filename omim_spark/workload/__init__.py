@@ -34,7 +34,8 @@ from . import spans  # noqa: E402,F401
 # Rotation ledger for round 3+ (update each round):
 # - never driver-checked after round 2: q_bm25_topk,
 #   q_stream_stateful_dedup, q_substring_spans, q_decontaminate,
-#   q_gapfill_locf, q_array_hof_zoo (added after the r2 window froze);
+#   q_gapfill_locf, q_array_hof_zoo, q_pagerank_steps, q_unpivot_melt
+#   (added after the r2 window froze);
 # - modified after their round-1 green (local replica re-verified, but
 #   driver signal is stale): q_dedup_minhash_lsh,
 #   q_dedup_cluster_survivors, q_dedup_lsh_capped (two-md5 minhash);

@@ -824,3 +824,38 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_unpivot_melt",
+    oracle="""
+    SELECT c_custkey, metric, value
+    FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+      UNION ALL
+      SELECT c_custkey, 'name_len', CAST(LENGTH(c_name) AS DOUBLE) FROM customer
+    )
+    ORDER BY c_custkey, metric
+    """,
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (O-tier: the inverse of q_user_activity_pivot):
+    three per-customer metrics rotated into (key, metric, value) rows
+    via the stack generator — a map-side Generate, no shuffle besides
+    the output sort; the oracle replays it as the equivalent UNION ALL
+    so wide→long semantics are pinned cross-engine."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.expr(
+                "stack(3, 'acctbal', c_acctbal,"
+                " 'nationkey', cast(c_nationkey as double),"
+                " 'name_len', cast(length(c_name) as double))"
+                " AS (metric, value)"
+            ),
+        )
+        .orderBy("c_custkey", "metric")
+    )
