@@ -24,6 +24,7 @@ from . import pipelineops  # noqa: E402,F401
 from . import streamgate  # noqa: E402,F401
 from . import graphiter  # noqa: E402,F401
 from . import spans  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
 # insertion order.  Round 1 checked entries 0-49 (relational/textops/dedup/
@@ -34,8 +35,9 @@ from . import spans  # noqa: E402,F401
 # Rotation ledger for round 3+ (update each round):
 # - never driver-checked after round 2: q_bm25_topk,
 #   q_stream_stateful_dedup, q_substring_spans, q_decontaminate,
-#   q_gapfill_locf, q_array_hof_zoo, q_pagerank_steps, q_unpivot_melt
-#   (added after the r2 window froze);
+#   q_gapfill_locf, q_array_hof_zoo, q_pagerank_steps, q_unpivot_melt,
+#   q_grouping_sets_lattice, q_histogram_acctbal, q_funnel_conversion,
+#   q_cohort_retention (added after the r2 window froze);
 # - modified after their round-1 green (local replica re-verified, but
 #   driver signal is stale): q_dedup_minhash_lsh,
 #   q_dedup_cluster_survivors, q_dedup_lsh_capped (two-md5 minhash);

@@ -141,6 +141,34 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"events": 3},
         "forbid": ["CartesianProduct"],
     },
+    "q_grouping_sets_lattice": {
+        # the 4-cuboid lattice is a single Expand + one aggregation
+        # shuffle, not four scans or four exchanges
+        "require": ["Expand"],
+        "max_hash_exchanges": 1,
+        "max_scan_cols": {"orders": 3},
+    },
+    "q_histogram_acctbal": {
+        # fixed-grid binning: pure expression + map-side combine over
+        # a 1-column scan
+        "require": ["HashAggregate"],
+        "max_scan_cols": {"customer": 1},
+    },
+    "q_funnel_conversion": {
+        # the 3-stage funnel is ONE keyed shuffle (group + array fold),
+        # never the 3-join cascade; stage filter reaches the scan
+        "pushed": r"In\(event_type",
+        "max_hash_exchanges": 1,
+        "max_scan_cols": {"events": 3},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_cohort_retention": {
+        # cohort + activity weeks computed in one groupBy(user_id)
+        # pass: one wide exchange + the tiny rollup exchange
+        "max_hash_exchanges": 2,
+        "max_scan_cols": {"events": 3},
+        "forbid": ["CartesianProduct"],
+    },
     "q_bm25_topk": {
         # df + corpus stats broadcast back onto tf; top-k never a
         # global sort
