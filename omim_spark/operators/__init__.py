@@ -6,4 +6,10 @@ These are the production-shaped APIs behind the workload queries in
 transforms designed for 1000-executor / 100 TB deployments (see each
 module's scale notes)."""
 
-from omim_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+from omim_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    profile,
+    similarity,
+    text,
+)

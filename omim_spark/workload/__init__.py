@@ -37,7 +37,8 @@ from . import analytics  # noqa: E402,F401
 #   q_stream_stateful_dedup, q_substring_spans, q_decontaminate,
 #   q_gapfill_locf, q_array_hof_zoo, q_pagerank_steps, q_unpivot_melt,
 #   q_grouping_sets_lattice, q_histogram_acctbal, q_funnel_conversion,
-#   q_cohort_retention (added after the r2 window froze);
+#   q_cohort_retention, q_profile_table (added after the r2 window
+#   froze);
 # - modified after their round-1 green (local replica re-verified, but
 #   driver signal is stale): q_dedup_minhash_lsh,
 #   q_dedup_cluster_survivors, q_dedup_lsh_capped (two-md5 minhash);

@@ -417,3 +417,33 @@ class TestSpanOps:
         assert m == {1: (2, 2), 2: (2, 2), 3: (1, 2)}
         ratios = {r.id: r.contamination_ratio for r in out}
         assert ratios[3] == 0.5
+
+
+class TestProfile:
+    def test_profile_values(self, spark):
+        from omim_spark.operators.profile import profile
+
+        df = spark.createDataFrame(
+            [(1, "a", 2.5), (2, None, 2.5), (3, "b", None), (3, "a", 0.5)],
+            ["k", "s", "v"],
+        )
+        out = {r["column_name"]: r for r in profile(df).collect()}
+        assert set(out) == {"k", "s", "v"}
+        k, s, v = out["k"], out["s"], out["v"]
+        assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+        assert (k["min_str"], k["max_str"]) == ("1", "3")
+        assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+        assert (s["min_str"], s["max_str"]) == ("a", "b")
+        assert (v["n_nulls"], v["n_distinct"]) == (1, 2)
+        assert (v["min_str"], v["max_str"]) == ("0.5", "2.5")
+
+    def test_profile_approx_and_subset(self, spark):
+        from omim_spark.operators.profile import profile
+
+        df = spark.range(1000).withColumn("s", F.col("id").cast("string"))
+        out = profile(df, ["id"], approx=True).collect()
+        assert len(out) == 1 and out[0]["column_name"] == "id"
+        # HLL estimate within its default 5% rsd envelope
+        assert abs(out[0]["n_distinct"] - 1000) < 150
+        with pytest.raises(ValueError):
+            profile(df, [])

@@ -169,6 +169,12 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"events": 3},
         "forbid": ["CartesianProduct"],
     },
+    "q_profile_table": {
+        # all per-column stats in one scan: the multi-distinct agg is
+        # a single Expand, never one scan per column
+        "require": ["Expand"],
+        "max_scan_cols": {"customer": 5},
+    },
     "q_bm25_topk": {
         # df + corpus stats broadcast back onto tf; top-k never a
         # global sort
