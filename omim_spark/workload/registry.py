@@ -52,13 +52,25 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan the events table, whose parquet `ts` is TIMESTAMP(NANOS) —
-    a type Spark's vectorized reader rejects.  We read nanos as long
-    (runtime-settable legacy conf) and truncate to microsecond
-    timestamps, matching DuckDB's epoch_us() truncation."""
+    """Scan the events table, normalizing `ts` to a microsecond
+    timestamp whatever physical type the generator used.
+
+    Generators have shipped `ts` as TIMESTAMP(NANOS) — which Spark's
+    vectorized reader only accepts as long via the legacy nanosAsLong
+    conf — and as TIMESTAMP(MICROS), which reads natively as a
+    (tz-naive) timestamp.  Sniff the decoded type: long → treat as
+    epoch nanos and truncate to micros (matching DuckDB's epoch_us());
+    TIMESTAMP_NTZ → cast to session-tz TIMESTAMP (the session tz is
+    pinned UTC, so the cast is value-preserving) because unix_micros()
+    and Structured Streaming watermarks require the tz-aware type."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
