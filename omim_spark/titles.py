@@ -87,12 +87,26 @@ _LOWER_ALWAYS = set(_CONJUNCTIONS + _LITTLE_PREPS + _ARTICLES)
 
 
 def cleanup_title_py(
-    title: str, word_replacements: dict[str, str] | None = None
+    title: str,
+    word_replacements: dict[str, str] | None = None,
+    case_method: str = "lower",
 ) -> str:
     """Word-wise: roman→arabic from word 2 on (keeping non-roman
-    suffixes, IIIB→3B; only 0<n<100 so 'SYNDROME C' survives),
-    lowercase casing, forced-lowercase conjunctions/preps/articles
-    (non-initial), then dictionary replacement."""
+    suffixes, IIIB→3B; only 0<n<100 so 'SYNDROME C' survives), then
+    per-word recasing via ``case_method`` ('lower' | 'upper' | 'title'
+    | 'capitalize', reference omim_entry_parser.py:194-270's
+    ``replacement_case_method``), then forced lowercase for
+    conjunctions/prepositions/articles at any position but the first,
+    then dictionary replacement.
+
+    Documented deviation: the reference tests the already-recased word
+    against its lowercase stop-lists (omim_entry_parser.py:263-264),
+    so its conditional-lowercase branch can never fire for any case
+    method — dead code contradicting its own comment ("replace
+    interior conjunctions ... with lowercase, always").  We implement
+    the stated intent (case-insensitive membership).  Identical output
+    for the default 'lower', which is the only method any reference
+    call site uses (main.py:292, omim_entry_parser.py:90-101,340)."""
     if title is None:
         return None
     word_replacements = word_replacements or {}
@@ -103,8 +117,8 @@ def cleanup_title_py(
             if 0 < num < 100:
                 suffix = word.replace(to_roman(num), "", 1)
                 word = f"{num}{suffix}"
-        word = word.lower()
-        if word in _LOWER_ALWAYS and i != 1:
+        word = getattr(word, case_method)()
+        if word.lower() in _LOWER_ALWAYS and i != 1:
             word = word.lower()
         word = word_replacements.get(word, word)
         fixed.append(word)

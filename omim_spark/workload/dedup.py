@@ -20,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .registry import register, table
 
@@ -164,18 +163,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~100-byte keys; xxhash64 collisions are ~1e-11 at this
     # cardinality, and the verification tier recomputes true Jaccard.
     sh = _shingles(spark, sf_dir).select("doc_id", F.xxhash64("s").alias("s"))
-    # The df-cap as an unordered count window over the SAME
-    # hash-partitioning the self-join needs: the shingle exchange is
-    # computed once and reused (AQE ReusedExchange) by the b-side and
-    # the sizes branch — one scan + one shuffle feeding three
-    # consumers, with no checkpoint storage.  Measured ~25% faster
-    # than a separate hot-list aggregation + broadcast anti join.
-    w = Window.partitionBy("s")
-    shc = (
-        sh.withColumn("df", F.count("*").over(w))
-        .filter(F.col("df") <= MAX_DF)
-        .drop("df")
+    # The df-cap as aggregate + broadcast anti join: the per-shingle
+    # count is map-side combinable, so a boilerplate shingle with
+    # df=10⁹ contributes one partial count per task instead of
+    # materializing every occurrence in one window partition — the
+    # skew this cap exists to prevent.  (A count(*) over (partition by
+    # s) window was ~25% faster at sf0.1 via exchange reuse, but it
+    # funnels each hot shingle's every occurrence through one task —
+    # the wrong shape at 100 TB.)  The hot list is tiny by
+    # construction, so it broadcasts and the cap never shuffles sh.
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("s")
     )
+    # One explicit hash exchange on s AFTER the cap (post-cap keys are
+    # bounded by MAX_DF, so it cannot skew): the self-join consumes the
+    # partitioning directly for both sides and the sizes rollup's
+    # partial aggregate reads it as a ReusedExchange — the shingle
+    # scan+explode runs twice total (once for hot, once here) instead
+    # of once per consumer.
+    shc = sh.join(F.broadcast(hot), "s", "left_anti").repartition("s")
     sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = shc.alias("a"), shc.alias("b")
     inter = (

@@ -66,11 +66,19 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(df.schema["ts"].dataType, LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif isinstance(ts_type, TimestampNTZType):
+        # Explicit target type: cast("timestamp") resolves via
+        # spark.sql.timestampType and would silently no-op if a caller
+        # set that conf to TIMESTAMP_NTZ.
+        df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    elif not isinstance(ts_type, TimestampType):
+        # Fail loudly at the scan on generator format drift instead of
+        # with an opaque analysis error deep in the plan.
+        raise TypeError(f"unexpected events.ts type: {ts_type}")
     return df

@@ -55,6 +55,20 @@ class TestCleanupTitle:
         )
         assert out == "Eagle-Barrett syndrome"
 
+    def test_case_method_title_lowercases_interior_conjunction(self):
+        # conjunction at word 3 is forced lowercase; at word 1 it keeps
+        # the case method's casing (reference's stated intent — its own
+        # branch is dead code, see cleanup_title_py docstring)
+        out = cleanup_title_py("EARS AND EYES AND MORE", case_method="title")
+        assert out == "Ears and Eyes and More"
+        out = cleanup_title_py("AND THEN SYNDROME", case_method="title")
+        assert out == "And Then Syndrome"
+
+    def test_case_method_default_identical_to_reference(self):
+        # under the default 'lower' the conditional branch is a no-op
+        # either way — byte-identical to reference behavior
+        assert cleanup_title_py("EARS AND EYES") == "ears and eyes"
+
 
 class TestAbbreviations:
     def test_detect_skips_acronyms_in_allcaps_label(self):

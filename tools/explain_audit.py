@@ -107,11 +107,13 @@ AUDITS: dict[str, dict] = {
         "min_bhj": 2,
     },
     "q_dedup_ngram_jaccard": {
-        # the hot-shingle df-cap is an unordered count window on the
-        # same hash-partitioning the self-join consumes (exchange
-        # reused at runtime) — no sort, no cross product
-        "require": ["Window"],
-        "forbid": ["CartesianProduct"],
+        # the hot-shingle df-cap is aggregate + broadcast ANTI join —
+        # map-side-combinable counts, hot list broadcast; never a
+        # count window (which would funnel a hot shingle's every
+        # occurrence through one task) and never a cross product
+        "require": ["LeftAnti"],
+        "min_bhj": 1,
+        "forbid": ["CartesianProduct", "Window"],
         "max_scan_cols": {"documents": 2},
     },
     "q_merge_upsert_delta": {
