@@ -25,6 +25,7 @@ from . import streamgate  # noqa: E402,F401
 from . import graphiter  # noqa: E402,F401
 from . import spans  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import corpusstats  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
 # insertion order.  Front-load whatever has not yet been driver-verified —
@@ -66,6 +67,11 @@ _VERIFY_FIRST = [
     "q_events_hourly",
     "q_dedup_ngram_jaccard",
     # New in round 3 (appended below as they are added).
+    "q_quantile_sketch",
+    "q_corpus_entropy_kl",
+    "q_zscore_anomaly",
+    "q_tfidf_cosine_pairs",
+    "q_bigram_lm",
 ]
 
 

@@ -1,0 +1,416 @@
+"""Corpus-statistics tier: quantile sketches, distribution diagnostics
+(entropy/KL), deterministic anomaly scoring, weighted-cosine similarity
+join, and n-gram language-model counts.
+
+These are the measurement queries a training-data pipeline runs beside
+its dedup/filter stages: "what does this corpus look like, which
+sources drift from the mix, which documents are near-copies by weighted
+term overlap, what are the dominant token transitions".
+
+Cross-engine float discipline (same rules as the BM25 query,
+textops.py:401-412): every libm-dependent term (LN) rounds through
+DECIMAL(18,6) before any sum, division/sqrt are correctly-rounded IEEE
+ops (identical on identical inputs), and all expressions are textually
+identical between the Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import events_table, register, table
+from .relational import _dsum_sql, dsum
+
+# ---------------------------------------------------------------------------
+# Quantile sketch under the hash gate
+# ---------------------------------------------------------------------------
+
+# Rank-space contract: a value-space bound on a quantile sketch is
+# distribution-dependent, but the Greenwald-Khanna sketch guarantees a
+# RANK error <= 1/accuracy.  So the boolean re-ranks the sketch output
+# against the data: frac = P(value <= approx_p) must sit within
+# RANK_TOL of p.  RANK_TOL = sketch bound (1e-4) + empirical-CDF
+# granularity at the smallest gate sf (~1/1000) with margin.
+QUANTILE_ACCURACY = 10000
+RANK_TOL = 0.01
+
+
+@register(
+    "q_quantile_sketch",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(QUANTILE_CONT(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+           CAST(CAST(QUANTILE_CONT(value, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90,
+           TRUE AS rank50_ok,
+           TRUE AS rank90_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation both ways: exact interpolated percentiles
+    (hash-matched against DuckDB's QUANTILE_CONT — same R-7
+    interpolation, rounded through DECIMAL(18,6)) plus the
+    Greenwald-Khanna sketch (percentile_approx), whose output is
+    engine-specific and therefore verified in RANK space: the sketch's
+    p-quantile must cover a fraction of rows within RANK_TOL of p.
+    The oracle emits the exact percentiles and literal TRUE.
+
+    Scale: the sketch is the 100 TB shape — one pass, bounded memory,
+    mergeable partials; exact percentiles need a per-group sort and
+    exist here as the verification anchor.  The re-rank pass joins a
+    ~|event_type|-row broadcast back onto events."""
+    ev = events_table(spark, sf_dir).select("event_type", "value")
+    per_type = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "CAST(CAST(percentile(value, 0.5D) AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("p50"),
+        F.expr(
+            "CAST(CAST(percentile(value, 0.9D) AS DECIMAL(18,6)) AS DOUBLE)"
+        ).alias("p90"),
+        F.expr(
+            f"percentile_approx(value, 0.5D, {QUANTILE_ACCURACY})"
+        ).alias("_a50"),
+        F.expr(
+            f"percentile_approx(value, 0.9D, {QUANTILE_ACCURACY})"
+        ).alias("_a90"),
+    )
+    ranked = (
+        ev.join(F.broadcast(per_type.select("event_type", "_a50", "_a90")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("_a50")).cast("double")).alias("_f50"),
+            F.avg((F.col("value") <= F.col("_a90")).cast("double")).alias("_f90"),
+        )
+    )
+    return (
+        per_type.join(ranked, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "p50",
+            "p90",
+            (F.abs(F.col("_f50") - 0.5) <= RANK_TOL).alias("rank50_ok"),
+            (F.abs(F.col("_f90") - 0.9) <= RANK_TOL).alias("rank90_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix diagnostics: entropy + KL divergence
+# ---------------------------------------------------------------------------
+
+# Shared term expressions (p, q are double fractions; LN rounds through
+# DECIMAL(18,6) before the sum so libm last-ulp differences vanish).
+_ENT_TERM = "CAST(-p * LN(p) AS DECIMAL(18,6))"
+_KL_TERM = "CAST(p * LN(p / q) AS DECIMAL(18,6))"
+
+
+@register(
+    "q_corpus_entropy_kl",
+    oracle=f"""
+    WITH sl AS (
+      SELECT source, lang, COUNT(*) AS n_sl FROM documents GROUP BY source, lang
+    ),
+    s AS (SELECT source, SUM(n_sl) AS n_s FROM sl GROUP BY source),
+    g AS (SELECT lang, SUM(n_sl) AS n_l FROM sl GROUP BY lang),
+    tot AS (SELECT SUM(n_l) AS n FROM g),
+    terms AS (
+      SELECT sl.source,
+             CAST(sl.n_sl AS DOUBLE) / s.n_s AS p,
+             CAST(g.n_l AS DOUBLE) / tot.n AS q,
+             s.n_s
+      FROM sl JOIN s USING (source) JOIN g USING (lang) CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM({_ENT_TERM}) AS DECIMAL(18,6)) AS DOUBLE) AS lang_entropy,
+           CAST(CAST(SUM({_KL_TERM}) AS DECIMAL(18,6)) AS DOUBLE) AS kl_vs_corpus
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_corpus_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix diagnostics: per-source Shannon entropy of the
+    language distribution, and KL(source ‖ corpus) — the drift measure
+    a data-mixing stage watches when rebalancing training sources.
+
+    Scale: the only full-data pass is the (source,lang) count —
+    map-side combinable, one shuffle; everything after operates on
+    |sources|×|langs| rows with the global distribution and total as
+    broadcast joins.  Entropy/KL terms are exact p·ln(p) per cell,
+    rounded through DECIMAL(18,6) per term (libm-proof), summed
+    exactly as decimals."""
+    sl = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n_sl"))
+    )
+    s = sl.groupBy("source").agg(F.sum("n_sl").alias("n_s"))
+    g = sl.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    tot = g.agg(F.sum("n_l").alias("n"))
+    terms = (
+        sl.join(F.broadcast(s), "source")
+        .join(F.broadcast(g), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_sl").cast("double") / F.col("n_s")).alias("p"),
+            (F.col("n_l").cast("double") / F.col("n")).alias("q"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_docs"),
+            F.expr(f"CAST(CAST(SUM({_ENT_TERM}) AS DECIMAL(18,6)) AS DOUBLE)").alias(
+                "lang_entropy"
+            ),
+            F.expr(f"CAST(CAST(SUM({_KL_TERM}) AS DECIMAL(18,6)) AS DOUBLE)").alias(
+                "kl_vs_corpus"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+Z_THRESHOLD = 3.0
+
+
+@register(
+    "q_zscore_anomaly",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             {_dsum_sql('value')} / COUNT(*) AS mean,
+             {_dsum_sql('value * value')} / COUNT(*) AS m2
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_type,
+             (e.value - s.mean) / SQRT(s.m2 - s.mean * s.mean) AS z,
+             s.n
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           MAX(n) AS n_events,
+           COUNT(*) FILTER (WHERE ABS(z) > {Z_THRESHOLD}) AS n_anomalies,
+           CAST(CAST(MAX(ABS(z)) AS DECIMAL(18,6)) AS DOUBLE) AS max_abs_z
+    FROM z
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly flagging with fully deterministic
+    moments: mean and E[x²] come from DECIMAL(18,6) sums (bit-identical
+    across engines), so std = sqrt(m2 − mean²) and every z-score are
+    exact IEEE results of identical inputs — the |z| > 3 threshold
+    cannot flip between engines, unlike stddev_samp whose streaming
+    (Welford) accumulation is engine- and order-dependent.
+
+    Scale: stats is a map-side-combinable agg to |event_type| rows,
+    broadcast back; the flagging pass is stateless map-side arithmetic
+    + a tiny re-aggregation.  Two scans of events, no wide shuffle of
+    raw rows."""
+    ev = events_table(spark, sf_dir).select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (dsum(F.col("value")) / F.count("*")).alias("mean"),
+        (dsum(F.col("value") * F.col("value")) / F.count("*")).alias("m2"),
+    )
+    z = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "n",
+        (
+            (F.col("value") - F.col("mean"))
+            / F.sqrt(F.col("m2") - F.col("mean") * F.col("mean"))
+        ).alias("z"),
+    )
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count_if(F.abs("z") > Z_THRESHOLD).alias("n_anomalies"),
+            F.expr(
+                "CAST(CAST(MAX(ABS(z)) AS DECIMAL(18,6)) AS DOUBLE)"
+            ).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF weighted cosine similarity join
+# ---------------------------------------------------------------------------
+
+# Document-frequency band for the inverted-index join: df=1 terms
+# cannot form pairs; df above the cap are boilerplate whose fan-out
+# would dominate the join (same role as MAX_DF in dedup.py — at 100 TB
+# an uncapped hot term expands quadratically inside its posting list).
+TFIDF_MAX_DF = 50
+COSINE_MIN = 0.35
+
+# Per-(doc,term) tf-idf weight, rounded through DECIMAL(18,6): the only
+# libm call (LN) is absorbed; norms and dot products are then EXACT
+# decimal arithmetic, and the final cosine is IEEE-identical.
+_W_EXPR = "CAST(tf * LN(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(18,6))"
+
+
+@register(
+    "q_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+    dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    w AS (
+      SELECT tf.doc_id, tf.t, {_W_EXPR} AS w
+      FROM tf JOIN dft USING (t) CROSS JOIN nd
+      WHERE dft.df <= {TFIDF_MAX_DF}
+    ),
+    norms AS (
+      SELECT doc_id, SQRT(CAST(SUM(w * w) AS DOUBLE)) AS nrm FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(CAST(dot / (na.nrm * nb.nrm) AS DECIMAL(18,6)) AS DOUBLE) AS cosine
+    FROM dots
+    JOIN norms na ON doc_a = na.doc_id
+    JOIN norms nb ON doc_b = nb.doc_id
+    WHERE dot / (na.nrm * nb.nrm) >= {COSINE_MIN}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-duplicate detection: TF-IDF cosine similarity over
+    an inverted-index join — the term-weighted complement of the
+    set-based MinHash/Jaccard family (dedup.py).  Vector space = terms
+    with df ≤ {TFIDF_MAX_DF} (boilerplate pruned, mirroring the
+    hot-shingle cap); pairs form only through shared posting lists,
+    never a cross product.
+
+    Scale: tf and df are map-side-combinable aggs; df and n_docs
+    broadcast back onto tf; the pair join's fan-out is bounded by
+    MAX_DF per term; norms are a per-doc agg of the same weighted
+    table.  Weights round through DECIMAL(18,6) (libm-proof), so dot,
+    norm, and cosine are deterministic across engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("t").agg(F.count("*").alias("df"))
+    nd = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dft.filter(F.col("df") <= TFIDF_MAX_DF)), "t")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "t", F.expr(_W_EXPR).alias("w"))
+        .repartition("t")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(cos >= COSINE_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            cos.cast("decimal(18,6)").cast("double").alias("cosine"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOP_K = 50
+
+
+@register(
+    "q_bigram_lm",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+    bi AS (
+      SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                                   i -> {{'w1': tk[i], 'w2': tk[i + 1]}})) AS b
+      FROM d WHERE LEN(tk) >= 2
+    ),
+    cnt2 AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n2 FROM bi GROUP BY 1, 2),
+    cnt1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM cnt2 GROUP BY w1)
+    SELECT w1, w2, n2, n1,
+           CAST(n2 AS DOUBLE) / n1 AS cond_p
+    FROM cnt2 JOIN cnt1 USING (w1)
+    ORDER BY n2 DESC, w1, w2
+    LIMIT {BIGRAM_TOP_K}
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts with conditional probabilities
+    P(w2|w1) = count(w1,w2)/count(w1·) — the n-gram statistics pass of
+    a corpus-analysis pipeline, top-{BIGRAM_TOP_K} transitions.
+
+    Scale: bigrams generate map-side from the token array (one
+    Generate, no self-join of token positions); the (w1,w2) count is
+    map-side combinable; the unigram margin derives from the ALREADY
+    aggregated bigram counts (no second corpus pass); final top-k is
+    TakeOrdered.  cond_p is an int/int IEEE division — deterministic."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    bi = (
+        docs.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(element_at(tk, i) AS w1, "
+                    "element_at(tk, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    cnt2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    return (
+        cnt2.join(cnt1, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n2",
+            "n1",
+            (F.col("n2").cast("double") / F.col("n1")).alias("cond_p"),
+        )
+        .orderBy(F.desc("n2"), "w1", "w2")
+        .limit(BIGRAM_TOP_K)
+    )

@@ -177,6 +177,42 @@ AUDITS: dict[str, dict] = {
         "require": ["Expand"],
         "max_scan_cols": {"customer": 5},
     },
+    "q_quantile_sketch": {
+        # the sketch's re-rank pass joins a |event_type|-row broadcast
+        # back onto events; only 2 columns ever scanned
+        "min_bhj": 1,
+        "max_scan_cols": {"events": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_corpus_entropy_kl": {
+        # per-source totals, global lang distribution, and corpus total
+        # all broadcast onto the (source,lang) cell table — the single
+        # full-data pass is the first count
+        "min_bhj": 2,
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_zscore_anomaly": {
+        # moment stats broadcast back; flagging is map-side arithmetic
+        "min_bhj": 1,
+        "require": ["HashAggregate"],
+        "max_scan_cols": {"events": 2},
+        "forbid": ["CartesianProduct", "SortAggregate"],
+    },
+    "q_tfidf_cosine_pairs": {
+        # df-capped inverted-index join: df + n_docs broadcast onto tf;
+        # pairs only through shared posting lists, never a cross product
+        "min_bhj": 2,
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_bigram_lm": {
+        # bigrams generate map-side from the token array; top-k is
+        # TakeOrdered, not a global sort
+        "require": ["Generate", "TakeOrderedAndProject"],
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct"],
+    },
     "q_bm25_topk": {
         # df + corpus stats broadcast back onto tf; top-k never a
         # global sort
