@@ -72,6 +72,9 @@ _VERIFY_FIRST = [
     "q_zscore_anomaly",
     "q_tfidf_cosine_pairs",
     "q_bigram_lm",
+    "q_countmin_heavy_hitters",
+    "q_weighted_sample_es",
+    "q_stream_dedup_watermark",
 ]
 
 

@@ -414,3 +414,189 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n2"), "w1", "w2")
         .limit(BIGRAM_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (bit-identical sketch on both engines)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows (md5 seeds '1:'..'4:')
+CMS_WIDTH = 256  # buckets per row (two md5 hex chars, sampling.py trick)
+CMS_PROBES = ("join", "filter", "stream", "merge", "scan", "zzz_absent")
+
+# Portable md5 → 0..255 bucket, identical to operators/sampling.py's
+# md5_bucket and the pipelineops oracle mirror: the first two hex chars
+# of md5(seed || term).  Same arithmetic on both engines; only the
+# position-function name differs (Spark INSTR vs DuckDB STRPOS).
+def _cms_bucket_sql(seed: int, term: str, pos: str = "STRPOS") -> str:
+    h = f"MD5(CONCAT('{seed}:', {term}))"
+    return (
+        f"({pos}('0123456789abcdef', SUBSTR({h}, 1, 1)) - 1) * 16"
+        f" + {pos}('0123456789abcdef', SUBSTR({h}, 2, 1)) - 1"
+    )
+
+
+_CMS_PROBES_SQL = ", ".join(f"('{t}')" for t in CMS_PROBES)
+_CMS_BUCKETS_SQL = " UNION ALL ".join(
+    f"SELECT {d} AS d, term, {_cms_bucket_sql(d, 'term')} AS bucket FROM probes"
+    for d in range(1, CMS_DEPTH + 1)
+)
+_CMS_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT {d} AS d, {_cms_bucket_sql(d, 't')} AS bucket, cnt FROM tcnt"
+    for d in range(1, CMS_DEPTH + 1)
+)
+
+
+@register(
+    "q_countmin_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents
+    ),
+    tcnt AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t),
+    cells AS ({_CMS_CELLS_SQL}),
+    cms AS (
+      SELECT d, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
+      FROM cells GROUP BY d, bucket
+    ),
+    probes(term) AS (VALUES {_CMS_PROBES_SQL}),
+    pb AS ({_CMS_BUCKETS_SQL}),
+    est AS (
+      SELECT pb.term, MIN(COALESCE(cms.cell, 0)) AS cms_est
+      FROM pb LEFT JOIN cms ON pb.d = cms.d AND pb.bucket = cms.bucket
+      GROUP BY pb.term
+    )
+    SELECT est.term,
+           COALESCE(tcnt.cnt, 0) AS exact_cnt,
+           est.cms_est,
+           est.cms_est >= COALESCE(tcnt.cnt, 0) AS never_underestimates
+    FROM est LEFT JOIN tcnt ON est.term = tcnt.t
+    ORDER BY est.term
+    """,
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries: a {CMS_DEPTH}×{CMS_WIDTH} CMS
+    over the token stream, probed for a fixed term set and compared
+    against exact counts.  Unlike the HLL/quantile sketches, the CMS
+    here is built from pure md5 arithmetic, so BOTH engines construct
+    the bit-identical sketch and every output cell hash-matches exactly
+    — including the `never_underestimates` invariant (CMS error is
+    one-sided by construction).
+
+    Scale: the sketch is the point — a fixed {CMS_DEPTH}×{CMS_WIDTH}
+    grid of counters, built map-side-combinably from per-term counts
+    (themselves a map-side combine), mergeable across 100 TB of
+    partitions with zero growth; probes join a broadcast ≤1024-cell
+    table.  The exact counts exist as the verification anchor."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+    tcnt = toks.groupBy("t").agg(F.count("*").alias("cnt"))
+    cells = None
+    for d in range(1, CMS_DEPTH + 1):
+        part = tcnt.select(
+            F.lit(d).alias("d"),
+            F.expr(_cms_bucket_sql(d, "t", pos="INSTR")).alias("bucket"),
+            "cnt",
+        )
+        cells = part if cells is None else cells.unionAll(part)
+    cms = cells.groupBy("d", "bucket").agg(F.sum("cnt").cast("long").alias("cell"))
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], ["term"])
+    pb = None
+    for d in range(1, CMS_DEPTH + 1):
+        part = probes.select(
+            F.lit(d).alias("d"),
+            "term",
+            F.expr(_cms_bucket_sql(d, "term", pos="INSTR")).alias("bucket"),
+        )
+        pb = part if pb is None else pb.unionAll(part)
+    est = (
+        pb.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("cell", F.lit(0))).alias("cms_est"))
+    )
+    return (
+        est.join(F.broadcast(tcnt), est["term"] == tcnt["t"], "left")
+        .select(
+            "term",
+            F.coalesce("cnt", F.lit(0)).alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") >= F.coalesce("cnt", F.lit(0))).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, deterministic)
+# ---------------------------------------------------------------------------
+
+ES_SAMPLE_K = 20
+
+# Deterministic uniform u in (0,1): four md5 hex chars of the doc key
+# -> 0..65535, shifted by 0.5 (never 0, so LN is safe).  The ES key
+# -ln(u)/w is exponential with rate w; the smallest K keys are a
+# weight-proportional sample without replacement.  Rounded through
+# DECIMAL(18,6) so the libm LN agrees across engines; doc_id breaks
+# rounded-score ties deterministically.
+def _es_u_sql(pos: str, str_t: str) -> str:
+    cell = (
+        f"({pos}('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS {str_t})), {{i}}, 1)) - 1)"
+    )
+    return (
+        f"(CAST({cell.format(i=1)} * 4096 + {cell.format(i=2)} * 256"
+        f" + {cell.format(i=3)} * 16 + {cell.format(i=4)}"
+        " AS DOUBLE) + 0.5) / 65536.0"
+    )
+
+
+def _es_key_sql(pos: str, str_t: str) -> str:
+    return (
+        f"CAST(-LN({_es_u_sql(pos, str_t)}) / CAST(n_chars AS DOUBLE)"
+        " AS DECIMAL(18,6))"
+    )
+
+
+_ES_KEY_DUCK = _es_key_sql("STRPOS", "VARCHAR")
+_ES_KEY_SPARK = _es_key_sql("INSTR", "STRING")
+
+
+@register(
+    "q_weighted_sample_es",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           CAST({_ES_KEY_DUCK} AS DOUBLE) AS es_key
+    FROM documents
+    ORDER BY {_ES_KEY_DUCK}, doc_id
+    LIMIT {ES_SAMPLE_K}
+    """,
+)
+def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each doc gets key -ln(u)/w with a deterministic md5-derived
+    uniform u and weight w = n_chars; the K smallest keys are an exact
+    weight-proportional sample.  Deterministic end-to-end — reruns,
+    repartitions, and both engines agree on the selected set.
+
+    Scale: keys are stateless map-side arithmetic on a 3-column scan;
+    selection is TakeOrdered (per-partition top-K, merged on the
+    driver), never a global sort — the canonical "sample K best by
+    score" shape at any corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.expr(_ES_KEY_SPARK).alias("_k"),
+        )
+        .orderBy("_k", "doc_id")
+        .limit(ES_SAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("_k").cast("double").alias("es_key"),
+        )
+    )

@@ -347,3 +347,57 @@ def q_stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN watermarked streaming dedup
+    (dropDuplicatesWithinWatermark) under the gate — the engine-native
+    complement of q_stream_stateful_dedup's custom state machine.
+    Which physical row survives per key is batch-order-dependent, so
+    the gated output projects the KEY COLUMNS only: with a single-file
+    AvailableNow source (one micro-batch, empty initial state) each
+    (user_id, event_type) pair emits exactly once and the emitted set
+    equals DISTINCT — while the real RocksDB-style dedup state store,
+    watermark bookkeeping, and append-mode emission all execute.
+
+    Scale: state is one entry per key within the watermark horizon —
+    the TTL bound the custom dedup lacks; at 24/7 scale the horizon
+    (not stream length) caps state size."""
+    run_id = uuid.uuid4().hex[:12]
+    base = _SCRATCH / f"wmdedup_{run_id}"
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    try:
+        events_table(spark, sf_dir).select(
+            "ts", "user_id", "event_type"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = (
+            stream.withWatermark("ts", "48 hours")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("user_id", "event_type")
+        )
+        (
+            deduped.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return (
+            spark.read.parquet(sink)
+            .orderBy("user_id", "event_type")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -213,6 +213,21 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
         "forbid": ["CartesianProduct"],
     },
+    "q_countmin_heavy_hitters": {
+        # fixed-size sketch: per-term counts map-side combined, the
+        # <=1024-cell CMS and exact anchors broadcast onto the probes
+        "min_bhj": 2,
+        "require": ["HashAggregate"],
+        "max_scan_cols": {"documents": 1},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_weighted_sample_es": {
+        # key is stateless map-side arithmetic; selection is
+        # TakeOrdered per partition, never a global sort
+        "require": ["TakeOrderedAndProject"],
+        "max_scan_cols": {"documents": 3},
+        "forbid": ["Exchange"],
+    },
     "q_bm25_topk": {
         # df + corpus stats broadcast back onto tf; top-k never a
         # global sort
