@@ -118,6 +118,49 @@ def interval_join_stream(
     )
 
 
+def hourly_then_daily(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """CHAINED stateful aggregation (Spark 3.4+ multi-stateful
+    pipeline): hourly tumbling windows re-aggregated into daily totals
+    inside ONE streaming query — the rollup cascade a metrics pipeline
+    runs continuously.  The second groupBy windows over
+    ``window_time(w1)`` (the event-time column of the first window),
+    which is what makes the chain legal in append mode; the watermark
+    propagates through both operators, so a daily row emits once the
+    watermark passes the day end.
+
+    The hourly partial stays DECIMAL(18,6) between the stages so the
+    daily total is an exact decimal sum (order-independent), cast to
+    double only at the edge.
+
+    At scale: state = open hours × types + open days × types — the
+    cascade keeps per-operator state bounded by its own horizon."""
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_hv"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_hv").cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w2.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_to_completion(stream_df: DataFrame, sink_path: str, checkpoint: str) -> None:
     """Drain all available input (Trigger.AvailableNow) into a parquet
     sink — micro-batch semantics with a bounded run, used by tests and

@@ -75,6 +75,8 @@ _VERIFY_FIRST = [
     "q_countmin_heavy_hitters",
     "q_weighted_sample_es",
     "q_stream_dedup_watermark",
+    "q_markov_transitions",
+    "q_stream_chained_daily",
 ]
 
 

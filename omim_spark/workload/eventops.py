@@ -511,3 +511,62 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    margin AS (
+      SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM trans GROUP BY prev_type
+    )
+    SELECT prev_type, next_type, n, n_from,
+           CAST(n AS DOUBLE) / n_from AS p_next
+    FROM trans JOIN margin USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the temporal analogue of
+    the bigram LM (corpusstats.py), used for funnel design and
+    session-behavior drift monitoring.
+
+    Scale: one shuffle on user_id for the lag window (per-user local
+    sort, the same shape q_sessionize proves); the transition count is
+    map-side combinable to |types|² rows and the row margin derives
+    from the aggregated matrix, not a second pass.  p_next is an
+    int/int IEEE division — deterministic across engines."""
+    ev = events_table(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    margin = trans.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(F.broadcast(margin), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            "n_from",
+            (F.col("n").cast("double") / F.col("n_from")).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -401,3 +401,67 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_stream_chained_daily",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    agg AS (
+      SELECT DATE_TRUNC('day', ts) AS d,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day_start,
+           event_type, n_events, total_value
+    FROM agg, mx
+    WHERE d + INTERVAL 1 DAY <= m - INTERVAL {WATERMARK_H} HOUR
+    ORDER BY day_start, event_type
+    """,
+)
+def q_stream_chained_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming (hour→day rollup cascade in one
+    query, streaming/jobs.py:hourly_then_daily) run to completion and
+    gated on the closed-day set: a daily window emits once the
+    watermark (max event time − {WATERMARK_H} h) passes the day end —
+    every hour of a closed day is itself closed, so the emitted daily
+    totals equal a plain batch day rollup over the same horizon, which
+    the oracle replays with a WHERE clause.
+
+    This exercises watermark PROPAGATION between two stateful
+    operators and exact decimal hand-off between stages — the
+    multi-stateful pipeline shape Spark only allows in append mode
+    with window_time() chaining."""
+    from ..streaming.jobs import hourly_then_daily
+
+    run_id = uuid.uuid4().hex[:12]
+    base = _SCRATCH / f"chain_{run_id}"
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    try:
+        events_table(spark, sf_dir).select(
+            "ts", "event_type", "value"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        run_to_completion(
+            hourly_then_daily(stream, watermark=f"{WATERMARK_H} hours"),
+            sink,
+            ckpt,
+        )
+        out = (
+            spark.read.parquet(sink)
+            .select(
+                F.date_format("day_start", "yyyy-MM-dd").alias("day_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+            .orderBy("day_start", "event_type")
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -32,6 +32,9 @@ QUERIES_TO_PROBE = [
     "q_train_test_split",
     "q_substring_spans",
     "q_decontaminate",
+    "q_tfidf_cosine_pairs",
+    "q_countmin_heavy_hitters",
+    "q_weighted_sample_es",
 ]
 
 
