@@ -77,6 +77,7 @@ _VERIFY_FIRST = [
     "q_stream_dedup_watermark",
     "q_markov_transitions",
     "q_stream_chained_daily",
+    "q_kmeans_assign",
 ]
 
 

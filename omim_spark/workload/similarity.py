@@ -289,3 +289,125 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (one Lloyd iteration, deterministic)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 5
+
+# Squared L2 distance as a left-fold over zipped dims — the same
+# sequential accumulation order as DuckDB's list_sum(list_transform),
+# so distances agree to the last ulp on identical inputs.
+_D2_SPARK = (
+    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0.0D, "
+    "(acc, x) -> acc + x)"
+)
+_D2_DUCK = "list_sum(list_transform(list_zip(v, cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+
+
+@register(
+    "q_kmeans_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {KMEANS_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, cents.cid, {_D2_DUCK} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_D2_DUCK}, cents.cid) AS rk
+      FROM e CROSS JOIN cents
+    ),
+    assigned AS (
+      SELECT s.vec_id, s.cid, s.d2, e.v
+      FROM scored s JOIN e USING (vec_id) WHERE rk = 1
+    ),
+    stats AS (
+      SELECT cid, COUNT(*) AS n_vecs,
+             CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS inertia
+      FROM assigned GROUP BY cid
+    ),
+    dims AS (
+      SELECT cid, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_d
+      FROM assigned CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i)
+      GROUP BY cid, i
+    ),
+    norms AS (
+      SELECT cid,
+             SQRT(CAST(SUM(CAST(mean_d * mean_d AS DECIMAL(18,6))) AS DOUBLE))
+               AS centroid_norm
+      FROM dims GROUP BY cid
+    )
+    SELECT stats.cid AS cluster_id, n_vecs, inertia,
+           CAST(CAST(centroid_norm AS DECIMAL(18,6)) AS DOUBLE) AS centroid_norm
+    FROM stats JOIN norms USING (cid)
+    ORDER BY cluster_id
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd iteration of k-means (K={KMEANS_K},
+    centroids seeded from vec_id < K): assign every embedding to its
+    nearest centroid (squared L2, centroid id breaks ties), then emit
+    per-cluster size, inertia, and the updated-centroid norm — the
+    iterative-ML primitive (cluster/IVF training) on the engine.
+
+    Determinism: distances left-fold in the same dim order on both
+    engines; inertia and per-dimension means go through DECIMAL(18,6)
+    sums, so the re-estimated centroid is order-independent.
+
+    Scale: K centroids broadcast; assignment is a stateless map +
+    per-vector argmin (min_by over K scores, no shuffle); cluster
+    stats are map-side-combinable aggs; the per-(cluster,dim) mean
+    shuffles K×64 keys.  A full k-means loops this plan with the new
+    centroids re-broadcast each round."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid", F.expr(_D2_SPARK).alias("d2")
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d2", "cid")).alias("_best"),
+        F.first("v").alias("v"),
+    ).select(
+        "vec_id", F.col("_best.cid").alias("cid"), F.col("_best.d2").alias("d2"), "v"
+    )
+    stats = assigned.groupBy("cid").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.col("d2").cast("decimal(18,6)")).cast("double").alias("inertia"),
+    )
+    dims = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_d")
+        )
+    )
+    norms = dims.groupBy("cid").agg(
+        F.sqrt(
+            F.sum((F.col("mean_d") * F.col("mean_d")).cast("decimal(18,6)")).cast(
+                "double"
+            )
+        ).alias("centroid_norm")
+    )
+    return (
+        stats.join(norms, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vecs",
+            "inertia",
+            F.col("centroid_norm").cast("decimal(18,6)").cast("double").alias(
+                "centroid_norm"
+            ),
+        )
+        .orderBy("cluster_id")
+    )

@@ -213,6 +213,23 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
         "forbid": ["CartesianProduct"],
     },
+    "q_kmeans_assign": {
+        # K centroids broadcast (keyless cross with a broadcast side
+        # plans as BroadcastNestedLoopJoin — fine for K rows);
+        # assignment is map-side argmin; never a CartesianProduct of
+        # the corpus with itself
+        "require": ["BroadcastNestedLoopJoin", "HashAggregate"],
+        "max_scan_cols": {"embeddings": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_markov_transitions": {
+        # one keyed window shuffle; margin broadcast back onto the
+        # aggregated matrix, never a second events pass
+        "require": ["Window"],
+        "min_bhj": 1,
+        "max_scan_cols": {"events": 4},
+        "forbid": ["CartesianProduct"],
+    },
     "q_countmin_heavy_hitters": {
         # fixed-size sketch: per-term counts map-side combined, the
         # <=1024-cell CMS and exact anchors broadcast onto the probes
