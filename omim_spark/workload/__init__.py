@@ -78,6 +78,8 @@ _VERIFY_FIRST = [
     "q_markov_transitions",
     "q_stream_chained_daily",
     "q_kmeans_assign",
+    "q_fuzzy_name_match",
+    "q_snapshot_diff",
 ]
 
 

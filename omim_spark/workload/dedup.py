@@ -540,3 +540,64 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance) entity matching over canonicalized names
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+@register(
+    "q_fuzzy_name_match",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name,
+             CAST(MIN(p_partkey) AS BIGINT) AS canon_key,
+             COUNT(*) AS n_parts,
+             STRING_SPLIT(p_name, ' ')[1] AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist,
+           a.n_parts AS n_a, b.n_parts AS n_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    ORDER BY name_a, name_b
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance entity matching (the fuzzy tier of the dedup
+    family): canonicalize to the DISTINCT-name frequency table first —
+    raw-row pairing is quadratic in duplicate counts, the classic
+    entity-resolution trap — then a BLOCKED self-join (first token as
+    the blocking key) with levenshtein ≤ {FUZZY_MAX_DIST}.  Distances
+    are integers, so the gate is exact.
+
+    Scale: the name table is vocabulary-bounded (it stops growing once
+    the corpus covers the vocabulary — measured flat from sf0.01 to
+    sf0.1), so the blocked pair join is bounded by block × vocabulary,
+    independent of row count; the only full-data pass is the
+    map-side-combinable name count."""
+    names = (
+        table(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").cast("long").alias("canon_key"), F.count("*").alias("n_parts"))
+        .withColumn("blk", F.split("p_name", " ").getItem(0))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_a"), "blk"
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_b"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+        .orderBy("name_a", "name_b")
+    )

@@ -859,3 +859,90 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (data-versioning comparison)
+# ---------------------------------------------------------------------------
+
+SNAP_T1 = "2001-01-01"
+SNAP_T2 = "2001-09-01"
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH snap_a AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             {_dsum_sql('o_totalprice')} AS total
+      FROM orders WHERE o_orderdate < DATE '{SNAP_T1}'
+      GROUP BY o_custkey
+    ),
+    snap_b AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             {_dsum_sql('o_totalprice')} AS total
+      FROM orders WHERE o_orderdate < DATE '{SNAP_T2}'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+           CASE WHEN a.o_custkey IS NULL THEN 'added'
+                WHEN b.o_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS status,
+           COALESCE(a.n_orders, 0) AS old_n,
+           COALESCE(b.n_orders, 0) AS new_n,
+           COALESCE(a.total, 0.0) AS old_total,
+           COALESCE(b.total, 0.0) AS new_total
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (o_custkey)
+    WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+       OR a.n_orders <> b.n_orders OR a.total <> b.total
+    ORDER BY o_custkey
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the data-versioning comparison a pipeline runs
+    between two materializations of the same rollup (here per-customer
+    order totals as of {SNAP_T1} vs {SNAP_T2}): keys classified
+    added / removed / changed, unchanged keys suppressed.  The
+    time-travel diff primitive (what a lakehouse table-format diff
+    computes) expressed as one full-outer join of the two snapshot
+    aggregations.
+
+    Scale: each snapshot is a map-side-combinable agg (date filter
+    pushed to the scan); the diff is a single shuffle join on the
+    snapshot key — at 100 TB both snapshots shuffle once; equality on
+    decimal-exact totals means no false 'changed' rows from float
+    noise."""
+    o = table(spark, sf_dir, "orders")
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderdate") < F.lit(cutoff).cast("date"))
+            .groupBy("o_custkey")
+            .agg(
+                F.count("*").alias("n_orders"),
+                dsum(F.col("o_totalprice")).alias("total"),
+            )
+        )
+
+    a = snap(SNAP_T1).alias("a")
+    b = snap(SNAP_T2).alias("b")
+    j = a.join(b, "o_custkey", "full_outer").filter(
+        F.col("a.n_orders").isNull()
+        | F.col("b.n_orders").isNull()
+        | (F.col("a.n_orders") != F.col("b.n_orders"))
+        | (F.col("a.total") != F.col("b.total"))
+    )
+    return (
+        j.select(
+            "o_custkey",
+            F.when(F.col("a.n_orders").isNull(), "added")
+            .when(F.col("b.n_orders").isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+            F.coalesce("a.n_orders", F.lit(0)).alias("old_n"),
+            F.coalesce("b.n_orders", F.lit(0)).alias("new_n"),
+            F.coalesce("a.total", F.lit(0.0)).alias("old_total"),
+            F.coalesce("b.total", F.lit(0.0)).alias("new_total"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -213,6 +213,21 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
         "forbid": ["CartesianProduct"],
     },
+    "q_fuzzy_name_match": {
+        # fuzzy match runs on the distinct-name table (vocabulary-
+        # bounded), blocked self-join, never raw-row pairing
+        "require": ["HashAggregate"],
+        "max_scan_cols": {"part": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_snapshot_diff": {
+        # both snapshot filters reach the scan; the diff is one
+        # full-outer shuffle join of two pre-aggregated snapshots
+        "pushed": r"LessThan\(o_orderdate",
+        "require": ["FullOuter", "HashAggregate"],
+        "max_scan_cols": {"orders": 3},
+        "forbid": ["CartesianProduct"],
+    },
     "q_kmeans_assign": {
         # K centroids broadcast (keyless cross with a broadcast side
         # plans as BroadcastNestedLoopJoin — fine for K rows);
