@@ -118,6 +118,59 @@ def interval_join_stream(
     )
 
 
+def upsert_stream(
+    events: DataFrame,
+    cache_path: str,
+    checkpoint: str,
+    key: str = "user_id",
+    order: tuple[str, ...] = ("ts", "event_id"),
+) -> None:
+    """foreachBatch micro-batch upsert into a parquet cache — the
+    streaming form of ``cache.upsert_cache`` (J8): per micro-batch,
+    pick each key's winner deterministically (max ``order`` tuple via
+    row_number, so within-batch arrival order never matters), then
+    merge new-side-wins against the existing cache with an anti join.
+
+    The cache swap is write-temp-then-rename (the parquet cache cannot
+    be overwritten while being read); a production deployment points
+    this at a table format with transactional MERGE and deletes the
+    rename. Drains all input with Trigger.AvailableNow.
+
+    Scale: each micro-batch shuffles once on the key; the cache
+    re-merge is the same anti-join plan as the batch J8 — cost scales
+    with cache size, which a real deployment bounds via partitioned
+    rewrite (only touched partitions re-merge)."""
+    import shutil as _shutil
+    from pyspark.sql.window import Window as _W
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        spark = batch_df.sparkSession
+        w = _W.partitionBy(key).orderBy(*[F.desc(c) for c in order])
+        fresh = (
+            batch_df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        try:
+            cached = spark.read.parquet(cache_path)
+            merged = fresh.unionByName(cached.join(fresh, key, "left_anti"))
+        except Exception:
+            merged = fresh
+        tmp = cache_path + "._tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _shutil.rmtree(cache_path, ignore_errors=True)
+        _shutil.move(tmp, cache_path)
+
+    (
+        events.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def hourly_then_daily(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "q_kmeans_assign",
     "q_fuzzy_name_match",
     "q_snapshot_diff",
+    "q_stream_upsert_cache",
 ]
 
 

@@ -465,3 +465,57 @@ def q_stream_chained_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_stream_upsert_cache",
+    oracle="""
+    SELECT user_id, EPOCH_US(ts) AS ts_us, event_id, value
+    FROM (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def q_stream_upsert_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch streaming upsert (streaming/jobs.py:upsert_stream)
+    under the gate: the event stream drains into a per-user parquet
+    cache where each key keeps its latest row (max (ts, event_id) — a
+    deterministic winner even within one micro-batch).  With a
+    single-file source the final cache equals a batch argmax per key,
+    which the oracle replays with one window; the real foreachBatch
+    machinery, per-batch winner selection, and anti-join cache merge
+    all execute.
+
+    This is the streaming form of the reference's weekly cache
+    re-fetch (cache.py J8) — a landing feed continuously upserting an
+    entity cache."""
+    from ..streaming.jobs import upsert_stream
+
+    run_id = uuid.uuid4().hex[:12]
+    base = _SCRATCH / f"upsert_{run_id}"
+    src, cache, ckpt = str(base / "src"), str(base / "cache"), str(base / "ckpt")
+    try:
+        events_table(spark, sf_dir).select(
+            "ts", "user_id", "event_id", "value"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        upsert_stream(stream, cache, ckpt)
+        return (
+            spark.read.parquet(cache)
+            .select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                "value",
+            )
+            .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
