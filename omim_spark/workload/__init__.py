@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "q_fuzzy_name_match",
     "q_snapshot_diff",
     "q_stream_upsert_cache",
+    "q_trending_rank_delta",
 ]
 
 

@@ -583,3 +583,66 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "q_trending_rank_delta",
+    oracle="""
+    WITH daily AS (
+      SELECT DATE_TRUNC('day', ts) AS d, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT d, event_type, n,
+             CAST(RANK() OVER (PARTITION BY d ORDER BY n DESC, event_type)
+                  AS INT) AS rnk
+      FROM daily
+    ),
+    lagged AS (
+      SELECT d, event_type, n, rnk,
+             CAST(LAG(rnk) OVER (PARTITION BY event_type ORDER BY d) AS INT)
+               AS prev_rnk
+      FROM ranked
+    )
+    SELECT STRFTIME(d, '%Y-%m-%d') AS day, event_type, n, rnk,
+           prev_rnk,
+           prev_rnk - rnk AS rank_delta
+    FROM lagged
+    WHERE rnk <= 3
+    ORDER BY day, rnk, event_type
+    """,
+)
+def q_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: daily top-3 event types with their rank
+    movement vs the previous day (positive delta = climbing) — the
+    leaderboard-drift query a monitoring pipeline runs over rollups.
+    Two stacked windows over the AGGREGATE (rank within day, lag of
+    that rank within type), never over raw events.
+
+    Scale: the only full-data pass is the map-side-combinable daily
+    count; both windows partition the tiny |days|×|types| rollup.
+    (The top-3 filter cannot push into a WindowGroupLimit here by
+    design: yesterday's rank must be computed for ALL types, else a
+    type entering the top 3 would have no previous rank to diff
+    against.)"""
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w_day = Window.partitionBy("d").orderBy(F.desc("n"), "event_type")
+    w_type = Window.partitionBy("event_type").orderBy("d")
+    ranked = daily.withColumn("rnk", F.rank().over(w_day).cast("int")).withColumn(
+        "prev_rnk", F.lag("rnk").over(w_type).cast("int")
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 3)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n",
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).alias("rank_delta"),
+        )
+        .orderBy("day", "rnk", "event_type")
+    )
