@@ -82,6 +82,8 @@ _VERIFY_FIRST = [
     "q_snapshot_diff",
     "q_stream_upsert_cache",
     "q_trending_rank_delta",
+    "q_cusum_changepoint",
+    "q_stratified_k_sample",
 ]
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .registry import events_table, register, table
 from .relational import _dsum_sql, dsum
@@ -599,4 +600,145 @@ def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.col("_k").cast("double").alias("es_key"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (deterministic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS d,
+             {_dsum_sql('value')} / COUNT(*) AS day_mean
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(SUM(CAST(day_mean AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS grand_mean
+      FROM daily GROUP BY event_type
+    ),
+    cus AS (
+      SELECT daily.event_type, d,
+             CAST(SUM(CAST(day_mean - grand_mean AS DECIMAL(18,6)))
+                  OVER (PARTITION BY daily.event_type ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cusum
+      FROM daily JOIN base USING (event_type)
+    ),
+    ranked AS (
+      SELECT event_type, d, cusum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(cusum) DESC, d) AS rk
+      FROM cus
+    )
+    SELECT event_type, STRFTIME(d, '%Y-%m-%d') AS change_day,
+           CAST(CAST(cusum AS DECIMAL(18,6)) AS DOUBLE) AS peak_cusum
+    FROM ranked WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: cumulative sum of
+    daily-mean deviations from the series mean; the |CUSUM| peak marks
+    the most likely level-shift day — the drift detector a data-quality
+    monitor runs over ingestion metrics.
+
+    Determinism: day means come from decimal sums; the running CUSUM
+    accumulates DECIMAL(18,6)-rounded deviations in day order (a
+    sequential window, same order both engines); the argmax day breaks
+    ties on the earlier date.
+
+    Scale: the full-data pass is the daily rollup (map-side
+    combinable); CUSUM windows run over |days| rows per type and the
+    per-type series mean is a broadcast join."""
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg((dsum(F.col("value")) / F.count("*")).alias("day_mean"))
+    base = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("day_mean").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("grand_mean")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = (
+        daily.join(F.broadcast(base), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(
+                (F.col("day_mean") - F.col("grand_mean")).cast("decimal(18,6)")
+            )
+            .over(w_run)
+            .cast("double"),
+        )
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.abs("cusum").desc(), "d"
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.col("cusum").cast("decimal(18,6)").cast("double").alias("peak_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-k sampling (deterministic per-group k)
+# ---------------------------------------------------------------------------
+
+STRAT_K = 3
+
+# Deterministic shuffle order within each stratum: md5 of the doc key.
+# row_number over (hash, doc_id) picks exactly k per group, stable
+# under reruns and repartitions — the per-source curation sample.
+_STRAT_ORD = "MD5(CAST(doc_id AS {str_t}))"
+
+
+@register(
+    "q_stratified_k_sample",
+    oracle=f"""
+    SELECT source, doc_id, lang
+    FROM (
+      SELECT source, doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY {_STRAT_ORD.format(str_t='VARCHAR')},
+                                         doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= {STRAT_K}
+    ORDER BY source, doc_id
+    """,
+)
+def q_stratified_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-k sampling: precisely {STRAT_K} docs per source
+    in a deterministic md5-shuffled order — the per-stratum quota
+    complement of the Bernoulli domain-mix sampler (which yields
+    binomial counts) and the global weighted ES sampler.
+
+    Scale: one shuffle on the stratum key; rank ≤ k pushes into a
+    WindowGroupLimit, so each task keeps only k rows per group instead
+    of sorting whole strata."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_STRAT_ORD.format(str_t="STRING")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRAT_K)
+        .select("source", "doc_id", "lang")
+        .orderBy("source", "doc_id")
     )

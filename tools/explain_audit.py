@@ -213,6 +213,20 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
         "forbid": ["CartesianProduct"],
     },
+    "q_cusum_changepoint": {
+        # CUSUM windows run over the daily rollup, never raw events;
+        # the per-type series mean broadcasts back
+        "require": ["Window", "HashAggregate"],
+        "min_bhj": 1,
+        "max_scan_cols": {"events": 3},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_stratified_k_sample": {
+        # rank <= k must push into a per-group limit: each task keeps
+        # k rows per stratum instead of sorting whole strata
+        "require": ["WindowGroupLimit"],
+        "max_scan_cols": {"documents": 3},
+    },
     "q_fuzzy_name_match": {
         # fuzzy match runs on the distinct-name table (vocabulary-
         # bounded), blocked self-join, never raw-row pairing
