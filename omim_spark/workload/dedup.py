@@ -55,6 +55,31 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 64-bit-hashed shingles computed INSIDE the array transform, so only
+# longs ever explode/shuffle (≈9% faster end-to-end than exploding the
+# shingle strings and hashing afterwards, measured at sf0.1).  Only for
+# consumers that never need the string back (the Jaccard headline);
+# minhash needs string shingles for its md5 signatures.
+SHINGLE_HASHED_SPARK = (
+    "array_distinct(transform(sequence(1, size(tk) - 2), "
+    "i -> xxhash64(concat_ws(' ', element_at(tk, i), "
+    "element_at(tk, i + 1), element_at(tk, i + 2)))))"
+)
+
+
+def _shingles_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s: long) — xxhash64'd shingles, same doc filter and
+    distinct-per-doc semantics as :func:`_shingles` (array_distinct
+    over hashes ≡ distinct over strings modulo the ~1e-11 collision
+    rate the string-joining variant already accepts)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", F.explode(F.expr(SHINGLE_HASHED_SPARK)).alias("s"))
+    )
+
+
 _SHINGLE_CTE_DUCK = f"""
     sh AS (
       SELECT doc_id, UNNEST({SHINGLE_DUCK}) AS s
@@ -162,7 +187,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this is the difference between shuffling ~20-byte keys and
     # ~100-byte keys; xxhash64 collisions are ~1e-11 at this
     # cardinality, and the verification tier recomputes true Jaccard.
-    sh = _shingles(spark, sf_dir).select("doc_id", F.xxhash64("s").alias("s"))
+    # Hashing happens inside the shingle transform, so the strings die
+    # before the explode (see SHINGLE_HASHED_SPARK).
+    sh = _shingles_hashed(spark, sf_dir)
     # The df-cap as aggregate + broadcast anti join: the per-shingle
     # count is map-side combinable, so a boilerplate shingle with
     # df=10⁹ contributes one partial count per task instead of

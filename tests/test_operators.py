@@ -447,3 +447,64 @@ class TestProfile:
         assert abs(out[0]["n_distinct"] - 1000) < 150
         with pytest.raises(ValueError):
             profile(df, [])
+
+
+class TestCorpusStats:
+    """Semantic invariants of the corpus-statistics tier (the oracle
+    gate proves cross-engine equality; these pin the math itself)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_countmin_never_underestimates(self, spark):
+        from omim_spark.workload import QUERIES
+
+        rows = QUERIES["q_countmin_heavy_hitters"].fn(spark, self.SF).collect()
+        assert rows and all(r.never_underestimates for r in rows)
+        # the deliberately-absent probe has exact 0 but est >= 0
+        absent = [r for r in rows if r.term == "zzz_absent"]
+        assert absent and absent[0].exact_cnt == 0
+
+    def test_es_sample_prefers_heavy_docs(self, spark):
+        from omim_spark.workload import QUERIES
+
+        sample = QUERIES["q_weighted_sample_es"].fn(spark, self.SF).collect()
+        docs = spark.read.parquet(f"{self.SF}/documents.parquet")
+        mean_all = docs.agg(F.avg("n_chars")).first()[0]
+        mean_sample = sum(r.n_chars for r in sample) / len(sample)
+        # weight-proportional sampling must pull the mean weight up
+        assert mean_sample > mean_all
+
+    def test_kmeans_partitions_all_vectors(self, spark):
+        from omim_spark.workload import QUERIES
+
+        rows = QUERIES["q_kmeans_assign"].fn(spark, self.SF).collect()
+        n_vecs = spark.read.parquet(f"{self.SF}/embeddings.parquet").count()
+        assert sum(r.n_vecs for r in rows) == n_vecs  # total partition
+        assert all(r.inertia >= 0 for r in rows)
+
+    def test_stratified_k_exact_quota(self, spark):
+        from omim_spark.workload import QUERIES
+        from collections import Counter
+
+        rows = QUERIES["q_stratified_k_sample"].fn(spark, self.SF).collect()
+        per = Counter(r.source for r in rows)
+        sizes = dict(
+            spark.read.parquet(f"{self.SF}/documents.parquet")
+            .groupBy("source").count().collect()
+        )
+        for src, n in per.items():
+            assert n == min(3, sizes[src])
+
+    def test_entropy_bounds(self, spark):
+        import math
+
+        from omim_spark.workload import QUERIES
+
+        rows = QUERIES["q_corpus_entropy_kl"].fn(spark, self.SF).collect()
+        n_langs = (
+            spark.read.parquet(f"{self.SF}/documents.parquet")
+            .select("lang").distinct().count()
+        )
+        for r in rows:
+            assert -1e-6 <= r.lang_entropy <= math.log(n_langs) + 1e-6
+            assert r.kl_vs_corpus >= -1e-6  # Gibbs' inequality
