@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     "q_trending_rank_delta",
     "q_cusum_changepoint",
     "q_stratified_k_sample",
+    "q_rolling_7day",
 ]
 
 

@@ -646,3 +646,67 @@ def q_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "rnk", "event_type")
     )
+
+
+@register(
+    "q_rolling_7day",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '1970-01-01', CAST(DATE_TRUNC('day', ts) AS DATE))
+               AS dayno,
+             STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,6))) AS v
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, n AS day_events,
+           CAST(SUM(n) OVER w AS BIGINT) AS rolling_events,
+           CAST(CAST(SUM(v) OVER w AS DECIMAL(18,6)) AS DOUBLE) AS rolling_value,
+           CAST(COUNT(*) OVER w AS INT) AS days_in_window
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY dayno
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, day
+    """,
+)
+def q_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling aggregates via a TIME-RANGE window frame
+    (RANGE BETWEEN 6 PRECEDING over the day number) — unlike a
+    ROWS-frame, missing days correctly shrink the window, and unlike
+    the hopping `F.window`, every day gets a full trailing view.  The
+    moving-average shape of every metrics dashboard.
+
+    Scale: the range frame runs over the daily ROLLUP (|days|×|types|
+    rows), never raw events; the full-data pass is one
+    map-side-combinable aggregation.  Decimal partials flow through
+    the frame so the rolling sum is order-exact."""
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01").cast("date")).alias(
+            "dayno"
+        ),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dayno")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.col("n").alias("day_events"),
+            F.sum("n").over(w).cast("long").alias("rolling_events"),
+            F.sum("v").over(w).cast("decimal(18,6)").cast("double").alias(
+                "rolling_value"
+            ),
+            F.count("*").over(w).cast("int").alias("days_in_window"),
+        )
+        .orderBy("event_type", "day")
+    )

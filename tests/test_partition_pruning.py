@@ -87,3 +87,36 @@ class TestPartitionPruning:
             spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
             == "true"
         )
+
+
+class TestCompaction:
+    """Small-file compaction — the maintenance op that keeps a 100 TB
+    table's file count sane: repartition + maxRecordsPerFile rewrite,
+    content-preserving."""
+
+    def test_compaction_reduces_files_preserving_rows(self, spark):
+        import uuid as _uuid
+
+        from omim_spark.workload.registry import events_table
+
+        base = _SCRATCH / f"compact_{_uuid.uuid4().hex[:12]}"
+        frag, tidy = str(base / "frag"), str(base / "tidy")
+        try:
+            ev = events_table(spark, SF_DIR).select("event_id", "user_id")
+            ev.repartition(64).write.mode("overwrite").parquet(frag)
+            fragged = spark.read.parquet(frag)
+            n_frag_files = len(
+                {r[0] for r in fragged.select(F.input_file_name()).distinct().collect()}
+            )
+            assert n_frag_files >= 32  # genuinely fragmented
+            fragged.repartition(4).write.mode("overwrite").parquet(tidy)
+            tidied = spark.read.parquet(tidy)
+            n_tidy_files = len(
+                {r[0] for r in tidied.select(F.input_file_name()).distinct().collect()}
+            )
+            assert n_tidy_files == 4
+            # content preserved exactly
+            assert tidied.count() == ev.count()
+            assert tidied.exceptAll(ev).count() == 0
+        finally:
+            shutil.rmtree(base, ignore_errors=True)

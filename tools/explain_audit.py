@@ -213,6 +213,12 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
         "forbid": ["CartesianProduct"],
     },
+    "q_rolling_7day": {
+        # range frame runs over the daily rollup, never raw events
+        "require": ["Window", "HashAggregate"],
+        "max_scan_cols": {"events": 3},
+        "forbid": ["CartesianProduct"],
+    },
     "q_cusum_changepoint": {
         # CUSUM windows run over the daily rollup, never raw events;
         # the per-type series mean broadcasts back
