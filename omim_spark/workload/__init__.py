@@ -85,6 +85,7 @@ _VERIFY_FIRST = [
     "q_cusum_changepoint",
     "q_stratified_k_sample",
     "q_rolling_7day",
+    "q_percentile_bands",
 ]
 
 

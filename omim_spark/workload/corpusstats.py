@@ -742,3 +742,51 @@ def q_stratified_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "lang")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Percentile bands time series
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_percentile_bands",
+    oracle="""
+    SELECT event_type,
+           STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           CAST(CAST(QUANTILE_CONT(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50,
+           CAST(CAST(QUANTILE_CONT(value, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+)
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90 bands per event type — the latency-percentile
+    time series every SLO dashboard draws, as exact interpolated
+    percentiles (hash-matched to QUANTILE_CONT through
+    DECIMAL(18,6)).
+
+    Scale: exact per-group percentiles buffer each (day,type) group's
+    values (ObjectHashAggregate) — fine while per-group cardinality is
+    bounded (a day×type at 100 TB is not: swap percentile() for
+    percentile_approx() and verify in rank space exactly as
+    q_quantile_sketch does; the plan shape is unchanged)."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(CAST(percentile(value, 0.5D) AS DECIMAL(18,6)) AS DOUBLE)"
+            ).alias("p50"),
+            F.expr(
+                "CAST(CAST(percentile(value, 0.9D) AS DECIMAL(18,6)) AS DOUBLE)"
+            ).alias("p90"),
+        )
+        .orderBy("event_type", "day")
+    )
