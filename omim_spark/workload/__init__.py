@@ -86,6 +86,7 @@ _VERIFY_FIRST = [
     "q_stratified_k_sample",
     "q_rolling_7day",
     "q_percentile_bands",
+    "q_hll_merge_rollup",
 ]
 
 

@@ -790,3 +790,62 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-aggregatable HLL sketches (DataSketches) — merge across rollups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hll_merge_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_ok,
+           TRUE AS direct_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct counting (Spark 3.5+ DataSketches HLL):
+    per-day sketches built once, then UNION-MERGED into the per-type
+    total — the property that lets a 100 TB pipeline materialize daily
+    sketch rollups and answer any coarser distinct query WITHOUT
+    re-reading raw data (plain approx_count_distinct values cannot be
+    re-aggregated).  Both the merged and the directly-built estimate
+    must land within greatest(5%·exact, 5) of the exact count; the
+    oracle emits the exact count and literal TRUEs (sketch binaries
+    are engine-specific, so only the contract is hash-matched).
+
+    Scale: the daily sketch table is |days|×|types| fixed-size
+    binaries; the merge shuffles sketches, not users — incremental
+    rollup cost is independent of raw volume."""
+    ev = events_table(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_merged")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_direct"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    tol = F.greatest(0.05 * F.col("exact_users"), F.lit(5.0))
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("_merged") - F.col("exact_users")) <= tol).alias(
+                "merged_ok"
+            ),
+            (F.abs(F.col("_direct") - F.col("exact_users")) <= tol).alias(
+                "direct_ok"
+            ),
+        )
+        .orderBy("event_type")
+    )
