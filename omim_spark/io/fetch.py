@@ -4,7 +4,7 @@ Re-expresses the reference client's fetch semantics
 (``omim2obo/omim_client.py:75-207``) as a transport-agnostic state
 machine.  In this engine the API fetch is a DRIVER-side landing-zone
 producer — it writes the JSON documents that the Spark scan
-(:func:`omim_spark.io.readers.read_api_entries`) ingests; nothing here
+(:func:`omim_spark.io.readers.read_entry_json`) ingests; nothing here
 runs on executors, so nothing here uses Spark.
 
 Reference parity (file:line cites against omim2obo/omim_client.py):
@@ -222,9 +222,16 @@ class OmimFetcher:
         """Since-date fetch (reference :115-147): page the search API
         until a short page, collect the matching MIM numbers, then
         fetch them by id.  ``state.since_date`` records ``to_date`` —
-        the date the fetch STARTED (:108-111)."""
+        the date the fetch STARTED (:108-111) — but ONLY when the run
+        completed: if either phase halted on a 429, ``since_date`` is
+        left unchanged and ``state.incomplete`` is set, so a caller
+        persisting the state re-covers the window next run instead of
+        silently skipping the never-fetched MIMs (the reference has
+        the same gap but logs loud RATE_ERR guidance; here the state
+        itself carries the signal)."""
         ids: list[str] = []
         start = 0
+        search_halted = False
         while True:
             if start:
                 self.pace()
@@ -233,6 +240,7 @@ class OmimFetcher:
             )
             err = classify_response(resp)
             if err == ERR_RATE_LIMIT:
+                search_halted = True
                 break  # keep what we have (:136-139)
             if err == ERR_INVALID_KEY:
                 raise InvalidApiKeyError(resp.text)
@@ -248,13 +256,17 @@ class OmimFetcher:
             if len(page) < BATCH_SIZE:
                 break
         entries, state = self.fetch_ids(ids)
-        state.since_date = to_date.replace("/", "-")
+        if search_halted or len(state.fetched_ids) < len(ids):
+            state.incomplete = True
+            state.since_date = since_date.replace("/", "-")
+        else:
+            state.since_date = to_date.replace("/", "-")
         return entries, state
 
 
 def write_landing_zone(entries: list[dict], path: str) -> None:
     """Persist fetched entries as the JSON landing-zone document the
-    Spark scan reads (:func:`omim_spark.io.readers.read_api_entries`)
+    Spark scan reads (:func:`omim_spark.io.readers.read_entry_json`)
     — the driver-side half of the S7 source."""
     with open(path, "w") as f:
         json.dump({"omim": {"entryList": [{"entry": e} for e in entries]}}, f)

@@ -131,15 +131,21 @@ def upsert_stream(
     row_number, so within-batch arrival order never matters), then
     merge new-side-wins against the existing cache with an anti join.
 
-    The cache swap is write-temp-then-rename (the parquet cache cannot
-    be overwritten while being read); a production deployment points
-    this at a table format with transactional MERGE and deletes the
-    rename. Drains all input with Trigger.AvailableNow.
+    The cache swap is write-temp → rename-aside → atomic promote, with
+    crash recovery at merge start (an interrupted swap leaves the
+    ``._old`` copy, which the next micro-batch restores before
+    reading); the fresh-cache path is taken ONLY when the cache path
+    verifiably does not exist — any read failure on an existing cache
+    propagates so the micro-batch retries instead of silently
+    rebuilding from one batch.  A production deployment points this at
+    a table format with transactional MERGE and deletes the rename.
+    Drains all input with Trigger.AvailableNow.
 
     Scale: each micro-batch shuffles once on the key; the cache
     re-merge is the same anti-join plan as the batch J8 — cost scales
     with cache size, which a real deployment bounds via partitioned
     rewrite (only touched partitions re-merge)."""
+    import os as _os
     import shutil as _shutil
     from pyspark.sql.window import Window as _W
 
@@ -151,15 +157,25 @@ def upsert_stream(
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
-        try:
+        old = cache_path + "._old"
+        if not _os.path.exists(cache_path) and _os.path.exists(old):
+            # recover from a swap interrupted between rename-aside and
+            # promote: the previous cache is intact under ._old
+            _os.rename(old, cache_path)
+        if _os.path.exists(cache_path):
+            # any read failure on an EXISTING cache propagates — the
+            # micro-batch retries rather than discarding the cache
             cached = spark.read.parquet(cache_path)
             merged = fresh.unionByName(cached.join(fresh, key, "left_anti"))
-        except Exception:
+        else:
             merged = fresh
         tmp = cache_path + "._tmp"
         merged.write.mode("overwrite").parquet(tmp)
-        _shutil.rmtree(cache_path, ignore_errors=True)
-        _shutil.move(tmp, cache_path)
+        _shutil.rmtree(old, ignore_errors=True)
+        if _os.path.exists(cache_path):
+            _os.rename(cache_path, old)  # atomic move-aside
+        _os.rename(tmp, cache_path)  # atomic promote
+        _shutil.rmtree(old, ignore_errors=True)
 
     (
         events.writeStream.foreachBatch(merge)

@@ -32,66 +32,34 @@ from . import corpusstats  # noqa: E402,F401
 # plus anything modified this round — so every query earns a green
 # CORRECTNESS row across rounds.
 #
-# Rotation ledger (round 3 window below; update each round):
-# - after this window, every query green in r1 (old 0-49) or r2
-#   (CORRECTNESS_r02: 50/50 pass) that is NOT re-listed here has been
-#   unmodified since its green;
-# - r3 window = 13 never-checked (added after the r2 window froze)
-#   + 3 dedup queries modified after their r1 green (two-md5 minhash)
-#   + q_approx_distinct_sketch (failed r1, rewritten to a
-#   hash-matchable contract this round) + 2 modified this round
-#   (q_events_hourly HLL contract, q_dedup_ngram_jaccard de-skewed
-#   df-cap) + everything newly added in round 3.
+# Rotation ledger (round 4 window below; update each round):
+# - entering round 4 there is ZERO verification debt: CORRECTNESS_r03
+#   was 50/50 pass and cumulatively all 129 registry queries have a
+#   driver-green row with code unmodified after the green (r1 greens
+#   for the original window, r2 greens for CORRECTNESS_r02's 50, r3
+#   greens for CORRECTNESS_r03's 50 — invariant audited by the r3
+#   judge via git diff d9b38c0..d7f6b10);
+# - r4 window = queries whose code OR whose shared helpers were
+#   modified in round 4, plus everything newly added in round 4.
+#   Shared-helper edits count as modifying their dependents
+#   (e.g. streaming/jobs.py:upsert_stream → q_stream_upsert_cache).
 _VERIFY_FIRST = [
-    # Never driver-checked (added after the r2 window froze).
-    "q_unpivot_melt",
-    "q_bm25_topk",
-    "q_array_hof_zoo",
-    "q_gapfill_locf",
-    "q_stream_stateful_dedup",
-    "q_pagerank_steps",
-    "q_substring_spans",
-    "q_decontaminate",
-    "q_grouping_sets_lattice",
-    "q_histogram_acctbal",
-    "q_funnel_conversion",
-    "q_cohort_retention",
-    "q_profile_table",
-    # Modified after their r1 green (stale driver signal).
-    "q_dedup_minhash_lsh",
-    "q_dedup_cluster_survivors",
-    "q_dedup_lsh_capped",
-    # Failed r1 as rows-only; rewritten to a hash-matchable contract.
-    "q_approx_distinct_sketch",
-    # Modified in round 3.
-    "q_events_hourly",
-    "q_dedup_ngram_jaccard",
-    # New in round 3 (appended below as they are added).
-    "q_quantile_sketch",
-    "q_corpus_entropy_kl",
-    "q_zscore_anomaly",
-    "q_tfidf_cosine_pairs",
-    "q_bigram_lm",
-    "q_countmin_heavy_hitters",
-    "q_weighted_sample_es",
-    "q_stream_dedup_watermark",
-    "q_markov_transitions",
-    "q_stream_chained_daily",
-    "q_kmeans_assign",
-    "q_fuzzy_name_match",
-    "q_snapshot_diff",
-    "q_stream_upsert_cache",
-    "q_trending_rank_delta",
-    "q_cusum_changepoint",
-    "q_stratified_k_sample",
-    "q_rolling_7day",
-    "q_percentile_bands",
-    "q_hll_merge_rollup",
+    # Modified in round 4.
+    "q_kmeans_assign",  # map-side argmin over broadcast centroid array
+    "q_stream_upsert_cache",  # upsert_stream atomic swap + strict cache read
+    # New in round 4 (appended below as they are added).
 ]
 
 
 def _reorder() -> None:
-    ordered = {n: QUERIES[n] for n in _VERIFY_FIRST if n in QUERIES}
+    # A typo or a renamed query must fail loudly — silently dropping a
+    # _VERIFY_FIRST entry would shrink the driver-verified window.
+    missing = [n for n in _VERIFY_FIRST if n not in QUERIES]
+    if missing:
+        raise AssertionError(
+            f"_VERIFY_FIRST names not in QUERIES: {missing}"
+        )
+    ordered = {n: QUERIES[n] for n in _VERIFY_FIRST}
     for n, q in QUERIES.items():
         if n not in ordered:
             ordered[n] = q

@@ -297,13 +297,9 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 5
 
-# Squared L2 distance as a left-fold over zipped dims — the same
-# sequential accumulation order as DuckDB's list_sum(list_transform),
-# so distances agree to the last ulp on identical inputs.
-_D2_SPARK = (
-    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0.0D, "
-    "(acc, x) -> acc + x)"
-)
+# Squared L2 distance as a left-fold over zipped dims — the Spark side
+# folds in the same sequential accumulation order (see ``best`` in
+# q_kmeans_assign), so distances agree to the last ulp.
 _D2_DUCK = "list_sum(list_transform(list_zip(v, cv), p -> (p[1] - p[2]) * (p[1] - p[2])))"
 
 
@@ -358,25 +354,38 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; inertia and per-dimension means go through DECIMAL(18,6)
     sums, so the re-estimated centroid is order-independent.
 
-    Scale: K centroids broadcast; assignment is a stateless map +
-    per-vector argmin (min_by over K scores, no shuffle); cluster
-    stats are map-side-combinable aggs; the per-(cluster,dim) mean
-    shuffles K×64 keys.  A full k-means loops this plan with the new
-    centroids re-broadcast each round."""
+    Scale: the K centroids are aggregated into ONE array-of-structs
+    row and broadcast; assignment is then a genuinely stateless map —
+    each vector folds over the centroid array and takes
+    ``array_min(struct(d2, cid))`` in-row, so NO shuffle (and no
+    K×|vectors| row blow-up) happens before the cluster-stats
+    aggregation.  Cluster stats are map-side-combinable aggs; the
+    per-(cluster,dim) mean shuffles K×64 keys.  A full k-means loops
+    this plan with the new centroid array re-broadcast each round."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double().alias("v")
     )
-    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    cent_arr = emb.filter(F.col("vec_id") < KMEANS_K).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        ).alias("cents")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cid", F.expr(_D2_SPARK).alias("d2")
+    # min over struct(d2, cid) is order-independent, so collect_list's
+    # nondeterministic array order cannot change the winner.
+    best = (
+        "array_min(transform(cents, c -> struct("
+        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0.0D, "
+        "(acc, x) -> acc + x) AS d2, c.cid AS cid)))"
     )
-    assigned = scored.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "cid")).alias("_best"),
-        F.first("v").alias("v"),
-    ).select(
-        "vec_id", F.col("_best.cid").alias("cid"), F.col("_best.d2").alias("d2"), "v"
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "v", F.expr(best).alias("_best"))
+        .select(
+            "vec_id",
+            F.col("_best.cid").alias("cid"),
+            F.col("_best.d2").alias("d2"),
+            "v",
+        )
     )
     stats = assigned.groupBy("cid").agg(
         F.count("*").alias("n_vecs"),

@@ -163,8 +163,27 @@ class TestSinceDateSearch:
             return FetchResponse(status=200, body=entry_page(ids))
 
         f = OmimFetcher(api_key="k", transport=transport)
-        entries, _ = f.fetch_since("2026/01/01", "2026/08/13")
+        entries, state = f.fetch_since("2026/01/01", "2026/08/13")
         assert len(entries) == BATCH_SIZE  # first page's ids still fetched
+        # the window was NOT fully covered: since_date must not advance
+        # and the state must be marked incomplete, or a persisting
+        # caller would silently skip the never-fetched updated MIMs
+        assert state.incomplete
+        assert state.since_date == "2026-01-01"
+
+    def test_entry_rate_limit_does_not_advance_since_date(self):
+        def transport(req):
+            if "search" in req.params:
+                lo = int(req.params["start"])
+                ids = [str(i) for i in range(lo, min(lo + BATCH_SIZE, 30))]
+                return FetchResponse(status=200, body=search_page(ids))
+            return FetchResponse(status=429)  # id-fetch phase halts
+
+        f = OmimFetcher(api_key="k", transport=transport)
+        entries, state = f.fetch_since("2026/01/01", "2026/08/13")
+        assert entries == []
+        assert state.incomplete
+        assert state.since_date == "2026-01-01"
 
 
 class TestLandingZone:
