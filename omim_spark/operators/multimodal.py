@@ -38,6 +38,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
+try:  # real decoder availability, probed once at import
+    import PIL  # noqa: F401
+
+    HAS_PILLOW = True
+except ImportError:  # container ships no media libs — fake decoder only
+    HAS_PILLOW = False
+
 # Canonical multimodal row schema: opaque payload + typed metadata.
 MEDIA_SCHEMA = StructType(
     [

@@ -203,6 +203,30 @@ class TestMultimodal:
         with _pytest.raises(Exception):
             multimodal.extract_image_features(media, decoder="nope").collect()
 
+    @pytest.mark.skipif(
+        not multimodal.HAS_PILLOW,
+        reason="container ships no pillow — fake decoder covers the plumbing",
+    )
+    def test_pillow_decode_real_png(self, spark):
+        """Auto-activates if the environment ever gains pillow: a
+        deterministic generated PNG goes through the REAL decode path
+        and must reproduce the known pixel statistics."""
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        buf = io.BytesIO()
+        Image.fromarray(px, mode="L").save(buf, format="PNG")
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(buf.getvalue()), "png", 8, 8, None)],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+        out = multimodal.extract_image_features(media, decoder="pillow").collect()[0]
+        assert out.width == 8 and out.height == 8
+        assert abs(out.mean_luma - px.mean()) < 1e-9
+
 
 class TestSamplingOps:
     """operators/sampling.py: deterministic split / sample / chunk / pack."""

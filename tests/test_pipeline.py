@@ -184,3 +184,31 @@ class TestDeterministicTtl:
         assert c1 == c2
         assert c1.startswith("@prefix")
         assert "OMIM:100100" in c1
+
+    def test_sharded_writer_byte_identical(self, spark, omim_data_dir, tmp_path):
+        from omim_spark.io.writers import write_ttl_sharded
+
+        r = build_graph(spark, omim_data_dir, version_date="2026-01-01")
+        single, sharded = tmp_path / "single.ttl", tmp_path / "sharded.ttl"
+        write_ttl(r.triples, str(single))
+        for shards in (1, 4, 16):
+            write_ttl_sharded(r.triples, str(sharded), shards=shards)
+            assert sharded.read_bytes() == single.read_bytes(), shards
+
+    def test_sharded_writer_manifest_mode(self, spark, omim_data_dir, tmp_path):
+        from omim_spark.io.writers import write_ttl_sharded
+
+        r = build_graph(spark, omim_data_dir, version_date="2026-01-01")
+        out = tmp_path / "out.ttl"
+        write_ttl_sharded(r.triples, str(out), shards=4, keep_shards=True)
+        shard_dir = str(out) + ".shards"
+        manifest = (tmp_path / "out.ttl.shards" / "manifest.txt").read_text()
+        parts = manifest.strip().split("\n")
+        assert len(parts) == 4
+        # header file + shards in manifest order reassemble the artifact
+        body = b"".join(
+            open(f"{shard_dir}/{p}", "rb").read() for p in parts
+        )
+        single = tmp_path / "single.ttl"
+        write_ttl(r.triples, str(single))
+        assert out.read_bytes() + body == single.read_bytes()

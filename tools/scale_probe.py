@@ -1,20 +1,25 @@
-"""Scale probe: measure how the corpus-scale operators behave when the
-input grows 10× — the check that the funnels are sub-quadratic in
-practice, not just by argument.
+"""Scale probe: measure how the engine behaves when the input grows
+10× — the check that the plans are (sub-)linear in practice, not just
+by argument.
 
-Synthesizes a 10× documents/embeddings corpus from sf0.1 (replicas get
-fresh ids and a replica-tag token so near-dup structure grows linearly
-instead of collapsing into one giant dup cluster), then times the
-headline document/embedding operators at 1× and 10× and prints the
-wall-clock ratio.  A ratio ≈ 10 means linear; the LSH funnel's
-candidate stage may exceed that slightly (bucket sizes grow), which is
-exactly what to watch.
+Synthesizes a FULL sf1-equivalent dataset from sf0.1 (every driver
+table, 10 replicas with key-consistent remapping so every join the
+workload performs stays valid: customer/orders/lineitem foreign keys
+stride together, events get fresh users per replica, documents get a
+replica-tag token so near-dup structure grows linearly instead of
+collapsing into one giant dup cluster), then times the 11 headline
+queries plus the most expensive round-3 additions at 1× and 10× and
+prints per-query wall-clock ratio and the scaling exponent
+log(t10/t1)/log(10).  Exponent ≈ 1 is linear; exponents well below 1
+are scan-underutilization at 1× (fixed overheads dominate); anything
+meaningfully above 1 is a scale bug to fix.
 
-Usage: python tools/scale_probe.py [replicas]
+Usage: python tools/scale_probe.py [replicas] [--keep]
 """
 
 from __future__ import annotations
 
+import math
 import shutil
 import sys
 import time
@@ -23,54 +28,104 @@ from pathlib import Path
 sys.path.insert(0, ".")
 
 BASE = "/root/testdata/sf0.1"
-QUERIES_TO_PROBE = [
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_lsh",
-    "q_knn_bruteforce",
-    "q_token_count_bpe",
-    "q_train_test_split",
-    "q_substring_spans",
-    "q_decontaminate",
+
+# 11 headline queries (pulled from the registry) plus the 5 most
+# expensive round-3 additions, per the round-3 review.
+EXTRA_PROBES = [
     "q_tfidf_cosine_pairs",
     "q_countmin_heavy_hitters",
-    "q_weighted_sample_es",
+    "q_dedup_lsh_capped",
+    "q_bigram_lm",
+    "q_rolling_7day",
 ]
+
+
+def replicate(spark, df, replicas: int, offsets: dict[str, int]):
+    """Stack ``replicas`` copies of ``df``, striding each key column in
+    ``offsets`` by its per-replica stride so foreign keys remapped with
+    the same stride keep joining."""
+    from pyspark.sql import functions as F
+
+    rep = spark.range(replicas).select(F.col("id").alias("_rep"))
+    out = df.crossJoin(rep)
+    for c, stride in offsets.items():
+        out = out.withColumn(c, F.col(c) + F.col("_rep") * F.lit(int(stride)))
+    return out.drop("_rep")
 
 
 def synthesize(spark, out_dir: str, replicas: int) -> None:
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    def rd(name):
+        return spark.read.parquet(f"{BASE}/{name}.parquet")
+
+    n = {t: rd(t).count() for t in ("customer", "supplier", "part", "orders")}
+
+    # Fixed dims stay fixed (TPC-H keeps nation/region constant across
+    # scale factors); fact/dim tables stride their keys together.
+    for name in ("region", "nation"):
+        rd(name).write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+    plans = {
+        "customer": {"c_custkey": n["customer"]},
+        "supplier": {"s_suppkey": n["supplier"]},
+        "part": {"p_partkey": n["part"]},
+        "orders": {"o_orderkey": n["orders"], "o_custkey": n["customer"]},
+        "lineitem": {
+            "l_orderkey": n["orders"],
+            "l_partkey": n["part"],
+            "l_suppkey": n["supplier"],
+        },
+    }
+    for name, offsets in plans.items():
+        replicate(spark, rd(name), replicas, offsets).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
+
+    # Events: fresh event ids AND fresh users per replica (densifying
+    # the same time window — the realistic growth shape for a metrics
+    # stream); ts is normalized through the same reader the workload
+    # uses, so whatever physical type the generator shipped round-trips
+    # to TIMESTAMP(MICROS).
+    from omim_spark.workload.registry import events_table
+
+    ev = events_table(spark, BASE)
+    n_ev = ev.count()
+    user_stride = ev.agg(F.max("user_id")).first()[0] + 1
+    replicate(
+        spark, ev, replicas, {"event_id": n_ev, "user_id": user_stride}
+    ).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    # Documents: replicas get fresh ids plus a tag token, so near-dup
+    # clusters grow 10× instead of collapsing into exact dups.
+    docs = rd("documents")
     n_docs = docs.count()
-    rep = spark.range(replicas).select(F.col("id").alias("rep"))
-    big_docs = (
+    rep = spark.range(replicas).select(F.col("id").alias("_rep"))
+    (
         docs.crossJoin(rep)
         .select(
-            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
-            # tag each replica so replicas are near-dups of each other,
-            # not byte-exact dups: dup structure scales linearly
-            F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("rep")))
-            .alias("text"),
+            (F.col("doc_id") + F.col("_rep") * n_docs).alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("text"), F.concat(F.lit("rep"), F.col("_rep"))
+            ).alias("text"),
             "lang",
             "source",
             (F.col("n_chars") + 5).alias("n_chars"),
         )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
     )
-    big_docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
-    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    n_emb = emb.count()
-    big_emb = emb.crossJoin(rep).select(
-        (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
-        "embedding",
-        "label",
-    )
-    big_emb.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    emb = rd("embeddings")
+    replicate(spark, emb, replicas, {"vec_id": emb.count()}).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
 
 
 def main() -> int:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    keep = "--keep" in sys.argv
+    replicas = int(args[0]) if args else 10
     from omim_spark.session import get_spark
     from omim_spark.workload import QUERIES
 
@@ -80,8 +135,10 @@ def main() -> int:
     scratch = Path(__file__).resolve().parent.parent / ".scratch" / "scale_probe"
     shutil.rmtree(scratch, ignore_errors=True)
     scratch.mkdir(parents=True)
-    print(f"synthesizing {replicas}x corpus …", flush=True)
+    print(f"synthesizing {replicas}x dataset (all tables) …", flush=True)
+    t0 = time.perf_counter()
     synthesize(spark, str(scratch), replicas)
+    print(f"synthesized in {time.perf_counter() - t0:.1f}s", flush=True)
 
     def best_of_two(fn, sf_dir):
         ts = []
@@ -91,39 +148,24 @@ def main() -> int:
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    print(f"{'query':<28}{'1x':>8}{'%dx' % replicas:>9}{'ratio':>8}")
-    for name in QUERIES_TO_PROBE:
+    probes = [n for n, q in QUERIES.items() if q.headline] + EXTRA_PROBES
+    print(
+        f"{'query':<28}{'1x':>8}{'%dx' % replicas:>9}{'ratio':>8}{'exp':>7}",
+        flush=True,
+    )
+    rows = []
+    for name in probes:
         fn = QUERIES[name].fn
         t1 = best_of_two(fn, BASE)
         t10 = best_of_two(fn, str(scratch))
-        print(f"{name:<28}{t1:>8.2f}{t10:>9.2f}{t10 / t1:>8.1f}")
-
-    # The mitigation the workload query deliberately omits (oracle
-    # exactness): hot-shingle document-frequency cap before the
-    # inverted-index join.  This is operators/dedup.py's scale path.
-    def capped_jaccard(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        from omim_spark.operators.dedup import jaccard_verify, shingles
-
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        sh = shingles(docs, n=3, max_df=50).localCheckpoint(eager=False)
-        a, b = sh.alias("a"), sh.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.s") == F.col("b.s"))
-                & (F.col("a.id") < F.col("b.id")),
-            )
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
+        exp = math.log(t10 / t1) / math.log(replicas)
+        rows.append((name, t1, t10, t10 / t1, exp))
+        print(
+            f"{name:<28}{t1:>8.2f}{t10:>9.2f}{t10 / t1:>8.1f}{exp:>7.2f}",
+            flush=True,
         )
-        return jaccard_verify(cand, sh, threshold=0.8)
-
-    t1 = best_of_two(capped_jaccard, BASE)
-    t10 = best_of_two(capped_jaccard, str(scratch))
-    print(f"{'jaccard_capped(max_df=50)':<28}{t1:>8.2f}{t10:>9.2f}{t10 / t1:>8.1f}")
-    shutil.rmtree(scratch, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(scratch, ignore_errors=True)
     return 0
 
 
