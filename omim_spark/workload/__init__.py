@@ -47,7 +47,9 @@ _VERIFY_FIRST = [
     # Modified in round 4.
     "q_kmeans_assign",  # map-side argmin over broadcast centroid array
     "q_stream_upsert_cache",  # upsert_stream atomic swap + strict cache read
+    "q_events_hourly",  # headline flag moved to the HLL-only sibling
     # New in round 4 (appended below as they are added).
+    "q_events_hourly_hll",  # rows-only by design (raw sketch output)
 ]
 
 

@@ -26,7 +26,6 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 @register(
     "q_events_hourly",
-    headline=True,
     oracle=f"""
     SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00') AS hour,
            event_type,
@@ -95,6 +94,43 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("_approx_users") - F.col("n_users"))
                 <= F.greatest(0.05 * F.col("n_users"), F.lit(5.0))
             ).alias("approx_users_ok"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+@register(
+    "q_events_hourly_hll",
+    headline=True,
+    # Rows-only check by design: the output carries the raw HLL
+    # estimate, which is engine-specific and cannot hash-match DuckDB.
+    # The exact-contract sibling q_events_hourly IS the hash-matched
+    # gate for this rollup (same grouping, exact distinct + tolerance
+    # boolean proving the sketch); this entry exists so the HEADLINE
+    # bench tracks the production plan rather than paying for an exact
+    # distinct the 100 TB shape would never compute.
+    oracle=None,
+)
+def q_events_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the hourly rollup: ONE map-side-combinable
+    aggregation — count, decimal sum, HLL sketch (rsd=0.02, 4096
+    registers) — with no exact COUNT(DISTINCT) anywhere in the plan
+    (no Expand, no per-user pre-aggregation level; partial sketches
+    merge in the combiner).  This is what a metrics pipeline runs
+    continuously; q_events_hourly is its exactness witness on the
+    driver gate."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         )
         .orderBy("hour", "event_type")
     )

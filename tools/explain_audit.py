@@ -257,6 +257,14 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"embeddings": 2},
         "forbid": ["CartesianProduct"],
     },
+    "q_events_hourly_hll": {
+        # the production rollup: ONE map-side-combinable aggregation,
+        # partial HLL sketches merged in the combiner — no distinct
+        # Expand, no per-user pre-aggregation level
+        "require": ["HashAggregate"],
+        "max_scan_cols": {"events": 4},
+        "forbid": ["Expand", "CartesianProduct"],
+    },
     "q_markov_transitions": {
         # one keyed window shuffle; margin broadcast back onto the
         # aggregated matrix, never a second events pass
