@@ -26,6 +26,7 @@ from . import graphiter  # noqa: E402,F401
 from . import spans  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import corpusstats  # noqa: E402,F401
+from . import maintenance  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registry entries in
 # insertion order.  Front-load whatever has not yet been driver-verified —
@@ -50,6 +51,7 @@ _VERIFY_FIRST = [
     "q_events_hourly",  # headline flag moved to the HLL-only sibling
     # New in round 4 (appended below as they are added).
     "q_events_hourly_hll",  # rows-only by design (raw sketch output)
+    "q_zorder_locality",
 ]
 
 
