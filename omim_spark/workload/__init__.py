@@ -52,6 +52,7 @@ _VERIFY_FIRST = [
     # New in round 4 (appended below as they are added).
     "q_events_hourly_hll",  # rows-only by design (raw sketch output)
     "q_zorder_locality",
+    "q_ann_ivf_probe",
 ]
 
 

@@ -420,3 +420,131 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: train one Lloyd step, probe nearest cells, exact search inside
+# ---------------------------------------------------------------------------
+
+IVF_K = 8  # coarse cells
+IVF_NPROBE = 2
+
+_D2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+
+
+@register(
+    "q_ann_ivf_probe",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_K}),
+    scored AS (
+      SELECT e.vec_id, seeds.cid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_D2.format(a='e.v', b='seeds.cv')},
+                                         seeds.cid) AS rk
+      FROM e CROSS JOIN seeds
+    ),
+    assigned AS (SELECT vec_id, cid FROM scored WHERE rk = 1),
+    dims AS (
+      SELECT a.cid, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM assigned a JOIN e USING (vec_id)
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 64)) AS i)
+      GROUP BY a.cid, i
+    ),
+    cents AS (SELECT cid, LIST(m ORDER BY i) AS cv FROM dims GROUP BY cid),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM cents CROSS JOIN q
+      ORDER BY {_D2.format(a='cv', b='qv')}, cid
+      LIMIT {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT a.vec_id, a.cid, e.v
+      FROM assigned a JOIN e USING (vec_id)
+      WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
+    )
+    SELECT vec_id, cid,
+           ROUND({_COS_DUCK.format(a='v', b='qv')}, 6) AS cosine
+    FROM cand CROSS JOIN q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF approximate nearest neighbor, end to end: train a
+    coarse quantizer (one deterministic Lloyd step from seeded
+    centroids — the batch-iterable primitive q_kmeans_assign proves),
+    assign every vector to its cell, probe the {IVF_NPROBE} cells
+    whose UPDATED centroids are closest to the query, and run exact
+    cosine top-k only inside those cells — the classic IVF index flow
+    (quantize → probe → rerank) that reads ~nprobe/K of the corpus.
+
+    Determinism: assignment/probe distances left-fold in dim order on
+    both engines; centroid means come from DECIMAL(18,6) sums, so the
+    trained quantizer is bit-identical; final scores round to 6dp and
+    break ties by vec_id.
+
+    Scale: seeds and trained centroids are O(K·d) — always broadcast;
+    assignment is the map-side argmin; the per-(cell,dim) mean
+    shuffles K×d keys; the probe filter is a broadcast semi join, so
+    the exact rerank scans only the probed cells.  At 100 TB the
+    corpus is WRITTEN partitioned by cid (see q_ann_lsh_buckets) and
+    the rerank reads ~nprobe/K of the files."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    seed_arr = emb.filter(F.col("vec_id") < IVF_K).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        ).alias("cents")
+    )
+    best = (
+        "array_min(transform(cents, c -> struct("
+        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0.0D, "
+        "(acc, x) -> acc + x) AS d2, c.cid AS cid)))"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seed_arr))
+        .select("vec_id", "v", F.expr(best + ".cid").alias("cid"))
+    )
+    cents = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.expr("transform(pm, p -> p.m)").alias("cv"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.expr(
+                "aggregate(zip_with(cv, qv, (x, y) -> (x - y) * (x - y)), "
+                "0.0D, (acc, x) -> acc + x)"
+            ).alias("d2"),
+        )
+        .orderBy("d2", "cid")
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cand = assigned.filter(F.col("vec_id") != 0).join(
+        F.broadcast(probe), "cid", "left_semi"
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(_cosine("v", "qv"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )

@@ -265,6 +265,15 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"events": 4},
         "forbid": ["Expand", "CartesianProduct"],
     },
+    "q_ann_ivf_probe": {
+        # seeds/centroids/query broadcast (keyless broadcast crosses
+        # plan as BroadcastNestedLoopJoin); probe filter is a broadcast
+        # semi join; rerank top-k is TakeOrdered, never a global sort;
+        # the corpus never self-joins
+        "require": ["BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
+        "max_scan_cols": {"embeddings": 2},
+        "forbid": ["CartesianProduct"],
+    },
     "q_markov_transitions": {
         # one keyed window shuffle; margin broadcast back onto the
         # aggregated matrix, never a second events pass
