@@ -53,6 +53,8 @@ _VERIFY_FIRST = [
     "q_events_hourly_hll",  # rows-only by design (raw sketch output)
     "q_zorder_locality",
     "q_ann_ivf_probe",
+    "q_bloom_prune_join",  # Bloom scan-pruned join vs plain-semi-join oracle
+    "q_semantic_dedup",  # SemDeDup: cluster + in-cluster cosine prune
 ]
 
 

@@ -946,3 +946,63 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter scan-side join pruning (the 100 TB selective-join shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_bloom_prune_join",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           {_dsum_sql('o.o_totalprice')} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-dim join with explicit Bloom-filter scan pruning
+    (`operators/bloom.py`): aggregate the BUILDING customers' keys
+    into a 512-byte Bloom filter (map-side-combinable bit_or), ship it
+    broadcast, drop non-matching orders INSIDE the scan stage, then
+    run the exact semi join over the survivors only.
+
+    The oracle is the plain semi join — Bloom filters have no false
+    negatives, so the gate proves the pruned plan's output is
+    byte-identical to the unpruned one on real data (false positives
+    are killed by the exact join that follows).
+
+    Scale: at 100 TB the dim side may be too big to broadcast as a
+    hash relation (→ shuffle join of the full fact table); the Bloom
+    bits always broadcast, so the fact side is filtered to ~selectivity
+    before its exchange.  AQE injects a similar runtime filter for some
+    shuffle joins; this shape is explicit, deterministic (md5-derived
+    positions), and works in sinks/streams where AQE doesn't reach."""
+    from ..operators.bloom import bloom_prune
+
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    pruned = bloom_prune(orders, cust, "o_custkey", "c_custkey")
+    return (
+        pruned.join(F.broadcast(cust), pruned.o_custkey == cust.c_custkey, "semi")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .orderBy("month")
+    )

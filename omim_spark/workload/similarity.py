@@ -548,3 +548,125 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster, then prune near-identical
+# pairs inside each cluster, keeping the centroid-closest survivor)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_K = 8
+SEMDEDUP_TAU = 0.40
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {SEMDEDUP_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, cents.cid, {_D2_DUCK} AS d2,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_D2_DUCK}, cents.cid) AS rk
+      FROM e CROSS JOIN cents
+    ),
+    a AS (
+      SELECT s.vec_id, s.cid, s.d2, e.v
+      FROM scored s JOIN e USING (vec_id) WHERE rk = 1
+    ),
+    pairs AS (
+      SELECT x.cid,
+             CASE WHEN x.d2 < y.d2 THEN y.vec_id
+                  WHEN x.d2 > y.d2 THEN x.vec_id
+                  ELSE y.vec_id END AS loser
+      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE {_COS_DUCK.format(a='x.v', b='y.v')} >= {SEMDEDUP_TAU}
+    ),
+    dropped AS (
+      SELECT cid, COUNT(DISTINCT loser) AS n_dropped FROM pairs GROUP BY cid
+    ),
+    sizes AS (SELECT cid, COUNT(*) AS n_vecs FROM a GROUP BY cid)
+    SELECT s.cid AS cluster_id, s.n_vecs,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           s.n_vecs - COALESCE(d.n_dropped, 0) AS n_kept
+    FROM sizes s LEFT JOIN dropped d USING (cid)
+    ORDER BY cluster_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster every embedding to its nearest seed
+    centroid (K={SEMDEDUP_K}, seeds vec_id < K), then inside each
+    cluster treat pairs with cosine >= {SEMDEDUP_TAU} as semantic
+    duplicates and drop the member farther from its centroid (vec_id
+    breaks exact ties) — per cluster, report sizes before/after.
+
+    Scale: this is THE tractable shape for embedding dedup at 100 TB —
+    the quadratic pair scan is confined to one cluster (bounded K ~
+    corpus/cluster-size keeps clusters small), the cluster id is the
+    only shuffle key, and assignment is the same broadcast
+    array-of-structs argmin as q_kmeans_assign (stateless map, no
+    K x N row blow-up).  All vector math is JVM fold expressions."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    cent_arr = emb.filter(F.col("vec_id") < SEMDEDUP_K).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        ).alias("cents")
+    )
+    best = (
+        "array_min(transform(cents, c -> struct("
+        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0.0D, "
+        "(acc, x) -> acc + x) AS d2, c.cid AS cid)))"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "v", F.expr(best).alias("_b"))
+        .select(
+            "vec_id",
+            F.col("_b.cid").alias("cid"),
+            F.col("_b.d2").alias("d2"),
+            "v",
+        )
+    )
+    x = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("ia"),
+        F.col("d2").alias("da"),
+        F.col("v").alias("va"),
+    )
+    y = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("ib"),
+        F.col("d2").alias("db"),
+        F.col("v").alias("vb"),
+    )
+    pairs = (
+        x.join(y, ["cid"])
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(_cosine("va", "vb") >= SEMDEDUP_TAU)
+        .select(
+            "cid",
+            F.when(F.col("da") < F.col("db"), F.col("ib"))
+            .when(F.col("da") > F.col("db"), F.col("ia"))
+            .otherwise(F.col("ib"))
+            .alias("loser"),
+        )
+    )
+    dropped = pairs.groupBy("cid").agg(
+        F.countDistinct("loser").alias("n_dropped")
+    )
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    return (
+        sizes.join(dropped, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -532,3 +532,62 @@ class TestCorpusStats:
         for r in rows:
             assert -1e-6 <= r.lang_entropy <= math.log(n_langs) + 1e-6
             assert r.kl_vs_corpus >= -1e-6  # Gibbs' inequality
+
+
+class TestBloom:
+    SF = "/root/testdata/sf0.001"
+
+    def test_no_false_negatives_and_low_fp(self, spark):
+        from omim_spark.operators import bloom
+
+        build = spark.range(0, 300).withColumnRenamed("id", "k")
+        probe = spark.range(0, 1000).withColumnRenamed("id", "k")
+        kept = {
+            r.k for r in bloom.bloom_prune(probe, build, "k", "k").collect()
+        }
+        assert set(range(300)) <= kept  # Bloom never drops a true member
+        # 4096 bits / 300 keys / 3 hashes → FP rate well under 10%
+        assert len(kept) - 300 < 70
+
+    def test_prune_matches_exact_semi(self, spark):
+        from pyspark.sql import functions as F
+
+        from omim_spark.operators.bloom import bloom_prune
+
+        cust = (
+            spark.read.parquet(f"{self.SF}/customer.parquet")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+        )
+        orders = spark.read.parquet(f"{self.SF}/orders.parquet")
+        pruned = bloom_prune(orders, cust, "o_custkey", "c_custkey")
+        exact = orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "semi"
+        )
+        # pruning is sound (superset of true matches) and effective
+        # (strictly smaller than the unfiltered fact side)
+        n_pruned, n_exact, n_all = pruned.count(), exact.count(), orders.count()
+        assert n_exact <= n_pruned < n_all
+        # survivors ∩ exact == exact (no true row lost)
+        assert (
+            exact.join(
+                pruned.select("o_orderkey"), "o_orderkey", "left_anti"
+            ).count()
+            == 0
+        )
+
+
+class TestSemanticDedup:
+    SF = "/root/testdata/sf0.001"
+
+    def test_partition_invariants(self, spark):
+        from omim_spark.workload import QUERIES
+        from omim_spark.workload.similarity import SEMDEDUP_K
+
+        rows = QUERIES["q_semantic_dedup"].fn(spark, self.SF).collect()
+        assert 0 < len(rows) <= SEMDEDUP_K
+        total = spark.read.parquet(f"{self.SF}/embeddings.parquet").count()
+        assert sum(r.n_vecs for r in rows) == total  # partition covers corpus
+        for r in rows:
+            assert r.n_kept + r.n_dropped == r.n_vecs
+            assert r.n_kept >= 1  # the centroid-closest member always survives
