@@ -591,3 +591,31 @@ class TestSemanticDedup:
         for r in rows:
             assert r.n_kept + r.n_dropped == r.n_vecs
             assert r.n_kept >= 1  # the centroid-closest member always survives
+
+
+class TestIncrementalDedup:
+    def test_exact_and_near_branches(self, spark, tmp_path):
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again "
+            "for no particular reason at all today"
+        )
+        rows = [
+            # corpus (doc_id % 10 != 0)
+            (1, base),
+            (3, "completely unrelated corpus text with many distinct words here"),
+            # delta (doc_id % 10 == 0)
+            (10, base),  # exact copy of corpus doc 1
+            (20, base + " extra"),  # near-dup of corpus doc 1 (high Jaccard)
+            (30, "a fresh unique document sharing nothing with the corpus side"),
+        ]
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/documents.parquet")
+
+        from omim_spark.workload import QUERIES
+
+        out = {
+            r.doc_id: r.status
+            for r in QUERIES["q_dedup_incremental"].fn(spark, str(tmp_path)).collect()
+        }
+        assert out == {10: "exact_dup", 20: "near_dup", 30: "kept"}
