@@ -56,6 +56,7 @@ _VERIFY_FIRST = [
     "q_bloom_prune_join",  # Bloom scan-pruned join vs plain-semi-join oracle
     "q_semantic_dedup",  # SemDeDup: cluster + in-cluster cosine prune
     "q_dedup_incremental",  # delta-vs-corpus exact + LSH near-dup statuses
+    "q_pretrain_curation",  # quality -> dedup -> per-domain token budget
 ]
 
 

@@ -338,3 +338,110 @@ def q_grouped_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_normalize(docs, group="source", value="n_chars").select(
         "doc_id", "source", "pct_rank"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: quality -> dedup -> per-domain budget
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 25
+TOKEN_BUDGET = 600  # per-source token budget for the selected mix
+
+
+@register(
+    "q_pretrain_curation",
+    oracle=f"""
+    WITH qual AS (
+      SELECT doc_id, source, text,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= {MIN_TOKENS}
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT doc_id, source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                  ORDER BY doc_id) AS rk
+        FROM qual
+      ) WHERE rk = 1
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_tok
+      FROM dedup
+    ),
+    sel AS (SELECT * FROM ranked WHERE cum_tok <= {TOKEN_BUDGET})
+    SELECT q.source,
+           q.n_candidates,
+           d.n_unique,
+           COALESCE(s.n_selected, 0) AS n_selected,
+           COALESCE(s.tokens_selected, 0) AS tokens_selected
+    FROM (SELECT source, COUNT(*) AS n_candidates FROM qual GROUP BY source) q
+    JOIN (SELECT source, COUNT(*) AS n_unique FROM dedup GROUP BY source) d
+      USING (source)
+    LEFT JOIN (SELECT source, COUNT(*) AS n_selected,
+                      CAST(SUM(n_tok) AS BIGINT) AS tokens_selected
+               FROM sel GROUP BY source) s USING (source)
+    ORDER BY source
+    """,
+)
+def q_pretrain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline as ONE declarative plan — the
+    composition a pretraining data team actually ships: quality gate
+    (>= {MIN_TOKENS} tokens) -> exact dedup (md5, lowest doc_id wins)
+    -> deterministic per-domain token-budget selection (docs in
+    md5-priority order until {TOKEN_BUDGET} tokens per source) ->
+    per-source funnel report.
+
+    Scale: every stage is shuffle-minimal — the quality gate is a scan
+    predicate (pushed to parquet via n_chars when available), dedup is
+    one hash shuffle with a row_number window on md5(text) (same key,
+    single exchange), and the budget selection is one window per
+    source whose cumulative frame is partition-local.  The selection
+    hashes doc_id (never rand()), so reruns and retries pick identical
+    documents — reproducibility at 100 TB is a correctness property,
+    not a nicety.  Budget is per-source constant, so output size is
+    O(sources), independent of corpus growth."""
+    docs = table(spark, sf_dir, "documents")
+    qual = (
+        docs.withColumn("n_tok", F.size(F.split("text", " ")))
+        .filter(F.col("n_tok") >= MIN_TOKENS)
+        .select("doc_id", "source", "text", "n_tok")
+    )
+    w_dup = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        "doc_id"
+    )
+    dedup = (
+        qual.withColumn("rk", F.row_number().over(w_dup))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = dedup.withColumn("cum_tok", F.sum("n_tok").over(w_cum)).filter(
+        F.col("cum_tok") <= TOKEN_BUDGET
+    )
+    cands = qual.groupBy("source").agg(F.count("*").alias("n_candidates"))
+    uniq = dedup.groupBy("source").agg(F.count("*").alias("n_unique"))
+    picked = sel.groupBy("source").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("n_tok").cast("bigint").alias("tokens_selected"),
+    )
+    return (
+        cands.join(uniq, "source")
+        .join(picked, "source", "left")
+        .select(
+            "source",
+            "n_candidates",
+            "n_unique",
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.coalesce("tokens_selected", F.lit(0)).alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )

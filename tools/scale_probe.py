@@ -30,13 +30,20 @@ sys.path.insert(0, ".")
 BASE = "/root/testdata/sf0.1"
 
 # 11 headline queries (pulled from the registry) plus the 5 most
-# expensive round-3 additions, per the round-3 review.
+# expensive round-3 additions (per the round-3 review) and the
+# round-4 additions.
 EXTRA_PROBES = [
     "q_tfidf_cosine_pairs",
     "q_countmin_heavy_hitters",
     "q_dedup_lsh_capped",
     "q_bigram_lm",
     "q_rolling_7day",
+    # round 4
+    "q_ann_ivf_probe",
+    "q_zorder_locality",
+    "q_bloom_prune_join",
+    "q_semantic_dedup",
+    "q_dedup_incremental",
 ]
 
 
