@@ -115,3 +115,67 @@ def first_seen_filter(df: DataFrame, key_col: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_SIG_OUT = StructType(
+    [
+        StructField("band", LongType()),
+        StructField("sig", StringType()),
+        StructField("owner_doc", LongType()),
+        StructField("n_docs", LongType()),
+    ]
+)
+_SIG_STATE = StructType(
+    [StructField("owner", LongType()), StructField("n", LongType())]
+)
+
+
+def _sig_registry_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    owner, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        batch_min = int(pdf["doc_id"].min())
+        owner = batch_min if owner is None else min(owner, batch_min)
+    state.update((owner, n))
+    yield pd.DataFrame(
+        {
+            "band": [key[0]],
+            "sig": [key[1]],
+            "owner_doc": [owner],
+            "n_docs": [n],
+        }
+    )
+
+
+def neardup_signature_registry(docs: DataFrame) -> DataFrame:
+    """Streaming LSH near-dup registry: documents arrive as a stream,
+    each computes its banded MinHash signatures ROW-LOCALLY (a pure
+    stateless map — :func:`omim_spark.workload.dedup.band_signatures`,
+    no shuffle before the state store), and per (band, sig) key the
+    registry maintains (owner_doc = min doc_id ever seen, n_docs =
+    total claims).  An ingest pipeline joins new docs against this
+    registry to drop near-dups on arrival — the streaming twin of the
+    batch LSH funnel (claims are min-merged, so the final state is
+    IDENTICAL under any micro-batch partitioning of the stream).
+
+    Scale: state is one (16-byte + sig) row per distinct band
+    signature — proportional to distinct content, not stream length;
+    production adds a GroupStateTimeout TTL to age out cold
+    signatures."""
+    from ..workload.dedup import band_signatures
+
+    return (
+        band_signatures(docs)
+        .groupBy("band", "sig")
+        .applyInPandasWithState(
+            _sig_registry_fn,
+            outputStructType=_SIG_OUT,
+            stateStructType=_SIG_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -47,6 +47,8 @@ from . import maintenance  # noqa: E402,F401
 _VERIFY_FIRST = [
     # Modified in round 4.
     "q_kmeans_assign",  # map-side argmin over broadcast centroid array
+    "q_dedup_minhash_lsh",  # signature stage now row-local (no shuffle)
+    "q_dedup_cluster_survivors",  # same helper swap (_minhash_rowlocal)
     "q_stream_upsert_cache",  # upsert_stream atomic swap + strict cache read
     "q_events_hourly",  # headline flag moved to the HLL-only sibling
     # New in round 4 (appended below as they are added).
@@ -57,6 +59,7 @@ _VERIFY_FIRST = [
     "q_semantic_dedup",  # SemDeDup: cluster + in-cluster cosine prune
     "q_dedup_incremental",  # delta-vs-corpus exact + LSH near-dup statuses
     "q_pretrain_curation",  # quality -> dedup -> per-domain token budget
+    "q_stream_neardup_registry",  # stateful LSH registry, min-merge state
 ]
 
 

@@ -126,6 +126,60 @@ def _minhash_wide(sh: DataFrame) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*mins)
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h1..h8): the SAME signatures as :func:`_minhash_wide`
+    (min over each doc's shingles of the same md5 slices — verified
+    identical output), computed entirely row-locally: the shingle
+    array never explodes and the signature stage performs NO shuffle.
+    At 100 TB this removes the |docs|x|shingles| exchange that the
+    explode+groupBy form pays before banding — the signature table
+    falls straight out of the scan stage.  The md5-array projections
+    are shared by all four slices per family via whole-stage codegen
+    subexpression elimination.
+
+    Works on any (doc_id, text) DataFrame, batch or streaming (pure
+    stateless map — the streaming near-dup registry rides it)."""
+    base = (
+        docs.withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= 3)
+        .withColumn("sh_arr", F.expr(SHINGLE_SPARK))
+        .withColumn(
+            "m1a",
+            F.expr("transform(sh_arr, s -> md5(cast(concat('1:', s) as binary)))"),
+        )
+        .withColumn(
+            "m2a",
+            F.expr("transform(sh_arr, s -> md5(cast(concat('2:', s) as binary)))"),
+        )
+    )
+    cols = [
+        F.expr(
+            f"array_min(transform({'m1a' if j <= 4 else 'm2a'}, "
+            f"m -> substring(m, {((j - 1) % 4) * 8 + 1}, 8)))"
+        ).alias(f"h{j}")
+        for j in range(1, N_MINHASH + 1)
+    ]
+    return base.select("doc_id", *cols)
+
+
+def _minhash_rowlocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(table(spark, sf_dir, "documents"))
+
+
+def band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): the banded LSH keys (N_BANDS bands x 2
+    rows) as a row-local explode of :func:`minhash_signatures` — the
+    shared signature schema for the batch LSH funnel and the streaming
+    near-dup registry."""
+    band_pairs = ", ".join(
+        f"cast({b} as bigint), concat(h{2 * b + 1}, '|', h{2 * b + 2})"
+        for b in range(N_BANDS)
+    )
+    return minhash_signatures(docs).select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {band_pairs}) AS (band, sig)")
+    )
+
+
 @register(
     "q_dedup_exact",
     headline=True,
@@ -287,7 +341,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # All 8 minhashes as ONE map-side-combinable aggregation — no 8×
     # row explosion, no (doc, seed) shuffle: the shuffle carries one
     # row per doc with 8 min columns.
-    mh_wide = _minhash_wide(sh)
+    mh_wide = _minhash_rowlocal(spark, sf_dir)
     band_pairs = ", ".join(
         f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
     )
@@ -445,7 +499,7 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
     sh_h = sh.select("doc_id", F.xxhash64("s").alias("s"))
-    mh_wide = _minhash_wide(sh)
+    mh_wide = _minhash_rowlocal(spark, sf_dir)
     band_pairs = ", ".join(
         f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
     )
@@ -714,7 +768,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stage 2 — near-dup over exact survivors.
     sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
-    bands_all = _minhash_wide(sh)
+    bands_all = _minhash_rowlocal(spark, sf_dir)
     band_pairs = ", ".join(
         f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
     )

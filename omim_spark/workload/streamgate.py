@@ -30,6 +30,7 @@ from ..streaming.jobs import (
     interval_join_stream,
     run_to_completion,
 )
+from .dedup import SHINGLE_DUCK, _mh_cte_duck
 from .registry import events_table, register, table
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
@@ -515,6 +516,73 @@ def q_stream_upsert_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "value",
             )
             .orderBy("user_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_stream_neardup_registry",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({SHINGLE_DUCK}) AS s
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ),
+    mh AS ({_mh_cte_duck('sh')}),
+    bands AS (
+      SELECT doc_id, (j - 1) // 2 AS band,
+             MIN(CASE WHEN j % 2 = 1 THEN h END) || '|' ||
+             MIN(CASE WHEN j % 2 = 0 THEN h END) AS sig
+      FROM mh GROUP BY doc_id, (j - 1) // 2
+    )
+    SELECT band, sig, MIN(doc_id) AS owner_doc,
+           COUNT(*) AS n_docs
+    FROM bands GROUP BY band, sig
+    ORDER BY band, sig
+    """,
+)
+def q_stream_neardup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LSH near-dup registry under the gate: the documents
+    table replayed as a file-source stream, banded MinHash signatures
+    computed row-locally per arriving doc, and a stateful
+    (applyInPandasWithState) registry per (band, sig) maintaining
+    (min-doc owner, claim count).  Because claims min/sum-merge, the
+    final registry equals the batch GROUP BY whatever the micro-batch
+    partitioning — the oracle replays it as plain SQL over the same
+    minhash CTEs as the batch LSH funnel.
+
+    Scale: the state store holds one row per DISTINCT band signature
+    (content-proportional, not stream-proportional); the signature map
+    is stateless and shuffle-free before the state-store exchange."""
+    from ..streaming.stateful import neardup_signature_registry
+
+    run_id = uuid.uuid4().hex[:12]
+    base = _SCRATCH / f"neardup_{run_id}"
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    try:
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def land(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(sink)
+
+        (
+            neardup_signature_registry(stream)
+            .writeStream.foreachBatch(land)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return (
+            spark.read.parquet(sink)
+            .orderBy("band", "sig")
             .localCheckpoint(eager=True)
         )
     finally:

@@ -146,3 +146,61 @@ class TestStatefulOperators:
             for r in spark.read.parquet(multi_file_events).select("user_id").distinct().collect()
         }
         assert set(emitted) == all_keys
+
+
+class TestNeardupRegistry:
+    """Streaming LSH signature registry: min-merge semantics make the
+    final state identical under any micro-batch split."""
+
+    def test_multi_batch_matches_batch_groupby(
+        self, spark, tmp_path_factory, tmp_path
+    ):
+        from omim_spark.streaming.stateful import neardup_signature_registry
+        from omim_spark.workload.dedup import band_signatures
+        from omim_spark.workload.registry import table
+
+        src = str(tmp_path_factory.mktemp("neardup_in"))
+        docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        batches = []
+
+        def sink(df, epoch_id):
+            batches.append((epoch_id, df.toPandas()))
+
+        (
+            neardup_signature_registry(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        assert len(batches) > 1  # state genuinely crossed micro-batches
+
+        # last emission per key is the final state
+        final = {}
+        for _epoch, pdf in batches:
+            for r in pdf.itertuples(index=False):
+                final[(r.band, r.sig)] = (r.owner_doc, r.n_docs)
+
+        from pyspark.sql import functions as F
+
+        expected = {
+            (r.band, r.sig): (r.owner_doc, r.n_docs)
+            for r in band_signatures(docs)
+            .groupBy("band", "sig")
+            .agg(
+                F.min("doc_id").alias("owner_doc"),
+                F.count("*").alias("n_docs"),
+            )
+            .collect()
+        }
+        assert final == expected
