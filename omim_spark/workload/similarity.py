@@ -557,6 +557,7 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_K = 8
 SEMDEDUP_TAU = 0.40
+PAIR_SALT = 8  # fan-out factor for the in-cluster pair join
 
 
 @register(
@@ -604,11 +605,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks exact ties) — per cluster, report sizes before/after.
 
     Scale: this is THE tractable shape for embedding dedup at 100 TB —
-    the quadratic pair scan is confined to one cluster (bounded K ~
-    corpus/cluster-size keeps clusters small), the cluster id is the
-    only shuffle key, and assignment is the same broadcast
-    array-of-structs argmin as q_kmeans_assign (stateless map, no
-    K x N row blow-up).  All vector math is JVM fold expressions."""
+    the quadratic pair scan is confined to one cluster (in production
+    K scales with the corpus so cluster sizes stay bounded), and
+    assignment is the same broadcast array-of-structs argmin as
+    q_kmeans_assign (stateless map, no K x N row blow-up).  Two
+    pair-stage economies that matter at any scale: (1) vector norms
+    are folded ONCE per vector before the join, so each pair pays one
+    dot product instead of three; (2) the in-cluster self-join is
+    SALTED (key (cid, ia % {PAIR_SALT}) with a {PAIR_SALT}-way
+    replicated right side) — with few clusters a plain cid-keyed join
+    funnels into K tasks, the classic skew trap; salting spreads the
+    quadratic work across K x {PAIR_SALT} tasks at the cost of
+    replicating only the cluster members.  All vector math is JVM
+    fold expressions."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double().alias("v")
     )
@@ -632,22 +641,30 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
         )
     )
+    # Norm folded once per vector — pairs then pay ONE dot product.
+    assigned = assigned.withColumn("nrm", F.sqrt(_dot("v", "v")))
     x = assigned.select(
         F.col("cid"),
         F.col("vec_id").alias("ia"),
         F.col("d2").alias("da"),
         F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        (F.col("vec_id") % PAIR_SALT).cast("int").alias("salt"),
     )
     y = assigned.select(
         F.col("cid"),
         F.col("vec_id").alias("ib"),
         F.col("d2").alias("db"),
         F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    ).crossJoin(
+        spark.range(PAIR_SALT).select(F.col("id").cast("int").alias("salt"))
     )
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     pairs = (
-        x.join(y, ["cid"])
+        x.join(y, ["cid", "salt"])
         .filter(F.col("ia") < F.col("ib"))
-        .filter(_cosine("va", "vb") >= SEMDEDUP_TAU)
+        .filter(cos >= SEMDEDUP_TAU)
         .select(
             "cid",
             F.when(F.col("da") < F.col("db"), F.col("ib"))
