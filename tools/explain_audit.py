@@ -274,6 +274,39 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"embeddings": 2},
         "forbid": ["CartesianProduct"],
     },
+    "q_bloom_prune_join": {
+        # the Bloom bits broadcast onto the orders scan (keyless single
+        # row -> BroadcastNestedLoopJoin) and the exact semi join
+        # broadcasts the dim; the fact table is filtered BEFORE any
+        # exchange and its scan stays at 3 columns
+        "pushed": r"EqualTo\(c_mktsegment,BUILDING\)",
+        "require": ["BroadcastNestedLoopJoin"],
+        "min_bhj": 1,
+        "max_scan_cols": {"orders": 3, "customer": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_semantic_dedup": {
+        # centroids broadcast (keyless -> BNLJ); the in-cluster pair
+        # join is salted but never a cross product of the corpus
+        "require": ["BroadcastNestedLoopJoin"],
+        "max_scan_cols": {"embeddings": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_pretrain_curation": {
+        # dedup + budget selection are keyed windows; funnel joins are
+        # broadcast (sources dim is tiny); documents scan <= 3 cols
+        "require": ["Window"],
+        "min_bhj": 1,
+        "max_scan_cols": {"documents": 3},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_dedup_minhash_lsh": {
+        # row-local signature stage: the whole funnel runs in THREE
+        # hash exchanges (candidate self-join key, intersection count,
+        # size join) — the old explode+groupBy signature pass is gone
+        "max_hash_exchanges": 3,
+        "forbid": ["CartesianProduct"],
+    },
     "q_markov_transitions": {
         # one keyed window shuffle; margin broadcast back onto the
         # aggregated matrix, never a second events pass
