@@ -582,11 +582,12 @@ class TestSemanticDedup:
 
     def test_partition_invariants(self, spark):
         from omim_spark.workload import QUERIES
-        from omim_spark.workload.similarity import SEMDEDUP_K
+        from omim_spark.workload.similarity import SEMDEDUP_CLUSTER, SEMDEDUP_K
 
-        rows = QUERIES["q_semantic_dedup"].fn(spark, self.SF).collect()
-        assert 0 < len(rows) <= SEMDEDUP_K
         total = spark.read.parquet(f"{self.SF}/embeddings.parquet").count()
+        k = max(SEMDEDUP_K, total // SEMDEDUP_CLUSTER)
+        rows = QUERIES["q_semantic_dedup"].fn(spark, self.SF).collect()
+        assert 0 < len(rows) <= k
         assert sum(r.n_vecs for r in rows) == total  # partition covers corpus
         for r in rows:
             assert r.n_kept + r.n_dropped == r.n_vecs
