@@ -289,6 +289,29 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) distinct candidate pairs: docs sharing any LSH
+    band signature.  Signatures are row-local; the only shuffle is the
+    (band, sig) self-join key.  The signature table (|docs| x 4 short
+    rows — the artifact a production pipeline persists anyway) is
+    checkpointed so the self-join's two sides read it instead of
+    re-deriving signatures from the raw text twice."""
+    bands = band_signatures(
+        table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "q_dedup_minhash_lsh",
     headline=True,
@@ -329,36 +352,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs = docs sharing any band signature; candidates are
     then verified with true Jaccard.
 
-    Scale: this is THE near-dup path for 100 TB — the signature table
-    is |docs|×4 short rows, the candidate join is on (band, sig) whose
-    bucket sizes are the near-dup cluster sizes, and only candidates
-    pay the shingle-intersection cost."""
-    # One materialization feeds the minhash pass AND the verification
-    # joins; verification joins use 64-bit hashed shingles (see
-    # q_dedup_ngram_jaccard), minhashing keeps the md5 strings.
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
-    sh_h = sh.select("doc_id", F.xxhash64("s").alias("s"))
-    # All 8 minhashes as ONE map-side-combinable aggregation — no 8×
-    # row explosion, no (doc, seed) shuffle: the shuffle carries one
-    # row per doc with 8 min columns.
-    mh_wide = _minhash_rowlocal(spark, sf_dir)
-    band_pairs = ", ".join(
-        f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
-    )
-    bands = mh_wide.select(
-        "doc_id",
-        F.expr(f"stack({N_BANDS}, {band_pairs}) AS (band, sig)"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
+    Scale: this is THE near-dup path for 100 TB — the signature stage
+    is a row-local map (no explode, no shuffle: see
+    :func:`minhash_signatures`), the candidate join is on (band, sig)
+    whose bucket sizes are the near-dup cluster sizes, and the
+    shingle-explode verification tier is computed ONLY for candidate
+    documents: the candidate id set (tiny — it is the near-dup
+    population) broadcasts back onto the documents scan, so the
+    |docs|×|shingles| table is never materialized for the corpus at
+    large.  Verification joins use 64-bit hashed shingles (see
+    q_dedup_ngram_jaccard)."""
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _lsh_candidates(spark, sf_dir)
+        .localCheckpoint(eager=False)
+    )
+    # Shingles ONLY for candidate docs: broadcast the candidate ids
+    # into the scan-side semi joins.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
+    )
+    sh_h = (
+        table(spark, sf_dir, "documents")
+        .join(F.broadcast(cand_ids), "doc_id", "semi")  # BEFORE the explode
+        .withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", F.explode(F.expr(SHINGLE_HASHED_SPARK)).alias("s"))
+        .localCheckpoint(eager=False)
     )
     sizes = sh_h.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = sh_h.alias("x"), sh_h.alias("y")
@@ -494,31 +515,29 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the iterative min-label propagation is O(log diameter)
     shuffles over the EDGE set only (near-dup pairs, ≪ corpus);
     everything upstream is the sub-quadratic LSH funnel."""
-    from omim_spark.operators.dedup import near_dup_clusters
+    from omim_spark.operators.dedup import jaccard_verify, near_dup_clusters
 
     docs = table(spark, sf_dir, "documents")
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
-    sh_h = sh.select("doc_id", F.xxhash64("s").alias("s"))
-    mh_wide = _minhash_rowlocal(spark, sf_dir)
-    band_pairs = ", ".join(
-        f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
-    )
-    bands = mh_wide.select(
-        "doc_id", F.expr(f"stack({N_BANDS}, {band_pairs}) AS (band, sig)")
-    )
-    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        _lsh_candidates(spark, sf_dir)
+        .select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .localCheckpoint(eager=False)
+    )
+    # Shingles only for candidate docs (broadcast semi join BEFORE the
+    # explode) — the corpus-wide shingle table is never materialized.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    from omim_spark.operators.dedup import jaccard_verify
-
+    sh_h = (
+        docs.join(F.broadcast(cand_ids), "doc_id", "semi")
+        .withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", F.explode(F.expr(SHINGLE_HASHED_SPARK)).alias("s"))
+    )
     verified = jaccard_verify(
         cand, sh_h.select(F.col("doc_id").alias("id"), "s"), threshold=0.8
     ).select("id_a", "id_b")
