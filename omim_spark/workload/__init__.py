@@ -60,6 +60,7 @@ _VERIFY_FIRST = [
     "q_dedup_incremental",  # delta-vs-corpus exact + LSH near-dup statuses
     "q_pretrain_curation",  # quality -> dedup -> per-domain token budget
     "q_stream_neardup_registry",  # stateful LSH registry, min-merge state
+    "q_ann_pq_adc",  # product quantization + asymmetric-distance search
 ]
 
 

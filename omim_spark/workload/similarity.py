@@ -770,3 +770,103 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_C = 16  # codewords per subspace (seeds vec_id < PQ_C)
+
+# Per-subspace squared L2 between slices of two vectors, DuckDB side.
+_PQ_D2_DUCK = (
+    f"list_sum(list_transform(generate_series(1, {PQ_SUB}), "
+    "i -> ({a}[m * 8 + i] - {b}[m * 8 + i]) * ({a}[m * 8 + i] - {b}[m * 8 + i])))"
+)
+
+
+@register(
+    "q_ann_pq_adc",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cb AS (SELECT vec_id AS c, v AS cv FROM e WHERE vec_id < {PQ_C}),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    ms AS (SELECT UNNEST(GENERATE_SERIES(0, {PQ_M - 1})) AS m),
+    sub AS (
+      SELECT e.vec_id, m, cb.c,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id, m
+               ORDER BY {_PQ_D2_DUCK.format(a='v', b='cv')}, cb.c) AS rk
+      FROM e CROSS JOIN cb CROSS JOIN ms
+    ),
+    codes AS (SELECT vec_id, m, c FROM sub WHERE rk = 1),
+    adist AS (
+      SELECT codes.vec_id,
+             CAST(SUM(CAST({_PQ_D2_DUCK.format(a='qv', b='cv')}
+                           AS DECIMAL(18,6))) AS DOUBLE) AS adist
+      FROM codes JOIN cb ON cb.c = codes.c CROSS JOIN q
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id, adist FROM adist
+    WHERE vec_id <> 0
+    ORDER BY adist, vec_id
+    LIMIT 10
+    """,
+)
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, the IVF-PQ scale
+    path): {PQ_M} subspaces x {PQ_SUB} dims, {PQ_C}-codeword codebook
+    per subspace (codewords = seed vectors vec_id < {PQ_C}); every
+    vector encodes to {PQ_M} codes (nearest codeword per subspace,
+    code id breaks ties); the query's asymmetric distance is the sum
+    of per-subspace distances to each vector's codewords, decimal-
+    summed so the {PQ_M}-term reduction is order-independent; top-10
+    by (adist, vec_id).
+
+    Scale: encoding is a ROW-LOCAL map over a broadcast codebook
+    (PQ_C x dim doubles — constant size, unlike the corpus); encoded
+    vectors are {PQ_M} bytes instead of {DIM} floats (32x compression
+    — the reason 100 TB ANN fits in memory at all); ADC scoring is a
+    stateless map + TakeOrderedAndProject (no global sort, no
+    shuffle); at full scale this runs inside IVF cells
+    (q_ann_ivf_probe) with a residual codebook — same plan shape."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    cb = emb.filter(F.col("vec_id") < PQ_C).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("c"), F.col("v").alias("cv"))
+        ).alias("cbs")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sub_d2 = (
+        f"aggregate(zip_with(slice({{a}}, m * {PQ_SUB} + 1, {PQ_SUB}), "
+        f"slice({{b}}, m * {PQ_SUB} + 1, {PQ_SUB}), "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    )
+    codes = (
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"array_min(transform(cbs, e -> struct("
+        f"{sub_d2.format(a='v', b='e.cv')} AS d2, e.c AS c))).c)"
+    )
+    # ADC: look the codeword back up per subspace, decimal-sum the
+    # 8 per-subspace terms (order-independent reduction).
+    adist = (
+        f"cast(aggregate(sequence(0, {PQ_M - 1}), "
+        "cast(0 as decimal(18,6)), (acc, m) -> cast(acc + cast("
+        + sub_d2.format(
+            a="qv", b="filter(cbs, e -> e.c = element_at(cds, m + 1))[0].cv"
+        )
+        + " as decimal(18,6)) as decimal(18,6))) as double)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.expr(codes).alias("cds"), "qv", "cbs")
+        .select("vec_id", F.expr(adist).alias("adist"))
+        .orderBy("adist", "vec_id")
+        .limit(10)
+    )
