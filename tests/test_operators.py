@@ -620,3 +620,44 @@ class TestIncrementalDedup:
             for r in QUERIES["q_dedup_incremental"].fn(spark, str(tmp_path)).collect()
         }
         assert out == {10: "exact_dup", 20: "near_dup", 30: "kept"}
+
+
+class TestVocabAndRecall:
+    SF = "/root/testdata/sf0.001"
+
+    def test_vocab_coverage_monotone(self, spark):
+        from omim_spark.workload import QUERIES
+
+        rows = sorted(
+            QUERIES["q_vocab_coverage"].fn(spark, self.SF).collect(),
+            key=lambda r: r.target_pct,
+        )
+        assert [r.target_pct for r in rows] == [50, 90, 95, 99]
+        sizes = [r.vocab_size for r in rows]
+        assert sizes == sorted(sizes)  # higher target -> larger vocab
+        total = (
+            spark.read.parquet(f"{self.SF}/documents.parquet")
+            .selectExpr("sum(size(split(text, ' '))) AS t")
+            .collect()[0]
+            .t
+        )
+        for r in rows:
+            assert r.tokens_covered * 100 >= r.target_pct * total
+
+    def test_lsh_recall_bounds(self, spark):
+        from omim_spark.workload import QUERIES
+
+        (r,) = QUERIES["q_lsh_recall"].fn(spark, self.SF).collect()
+        assert 0 <= r.n_hit <= r.n_true
+        assert r.n_hit <= r.n_candidates
+        assert r.recall is None or 0.0 <= r.recall <= 1.0
+
+    def test_pq_adc_orders_by_distance(self, spark):
+        from omim_spark.workload import QUERIES
+
+        rows = QUERIES["q_ann_pq_adc"].fn(spark, self.SF).collect()
+        assert len(rows) == 10
+        dists = [r.adist for r in rows]
+        assert dists == sorted(dists)
+        assert all(d >= 0 for d in dists)
+        assert all(r.vec_id != 0 for r in rows)
