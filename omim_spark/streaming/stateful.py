@@ -179,3 +179,69 @@ def neardup_signature_registry(docs: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_CURATE_OUT = StructType(
+    [
+        StructField("content_hash", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_tok", LongType()),
+    ]
+)
+_CURATE_STATE = StructType([StructField("n_seen", LongType())])
+
+
+def _curation_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    n = len(rows)
+    if state.exists:
+        (seen,) = state.get
+        state.update((seen + n,))
+        return  # hash already admitted once — drop later copies
+    state.update((n,))
+    if n == 0:
+        return
+    first = rows.loc[rows["doc_id"].idxmin()]
+    yield pd.DataFrame(
+        {
+            "content_hash": [key[0]],
+            "doc_id": [int(first["doc_id"])],
+            "source": [str(first["source"])],
+            "n_tok": [int(first["n_tok"])],
+        }
+    )
+
+
+def streaming_curation(docs: DataFrame, min_tokens: int = 25) -> DataFrame:
+    """Streaming ingest curation: quality-gate arriving documents
+    (>= ``min_tokens`` tokens — a stateless pre-filter, applied before
+    any state), then admit each content hash ONCE (stateful first-seen
+    dedup keyed by md5(text), min doc_id wins within the arrival
+    batch).  Emits the admitted (hash, doc, source, token) rows — the
+    live twin of q_pretrain_curation's quality+dedup stages.
+
+    Scale: the pre-filter drops junk before the state-store shuffle;
+    state is one counter per distinct content hash (content-
+    proportional); production adds a GroupStateTimeout TTL."""
+    from pyspark.sql import functions as F
+
+    qual = (
+        docs.withColumn("n_tok", F.size(F.split("text", " ")).cast("long"))
+        .filter(F.col("n_tok") >= min_tokens)
+        .select(
+            F.md5(F.col("text").cast("binary")).alias("content_hash"),
+            "doc_id",
+            "source",
+            "n_tok",
+        )
+    )
+    return qual.groupBy("content_hash").applyInPandasWithState(
+        _curation_fn,
+        outputStructType=_CURATE_OUT,
+        stateStructType=_CURATE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -46,10 +46,11 @@ from . import maintenance  # noqa: E402,F401
 #   (e.g. streaming/jobs.py:upsert_stream → q_stream_upsert_cache;
 #   the dedup.py minhash helper rewrite → all three LSH consumers,
 #   all listed below).
-# - belt-and-braces: after the final r4 code change, the ENTIRE
-#   registry was replayed against the DuckDB oracle locally at sf0.01
-#   via tools/check_oracle.py — 137 pass, 0 fail, 1 rows-only
-#   (q_events_hourly_hll, rows-only by design).
+# - belt-and-braces: late in round 4 the ENTIRE registry was replayed
+#   against the DuckDB oracle locally via tools/check_oracle.py at
+#   BOTH sf0.01 (137 pass, 0 fail) and sf0.1 (139 pass, 0 fail, incl.
+#   q_vocab_coverage/q_lsh_recall added between the sweeps); the one
+#   rows-only row is q_events_hourly_hll, rows-only by design.
 _VERIFY_FIRST = [
     # Modified in round 4.
     "q_kmeans_assign",  # map-side argmin over broadcast centroid array
@@ -69,6 +70,7 @@ _VERIFY_FIRST = [
     "q_ann_pq_adc",  # product quantization + asymmetric-distance search
     "q_vocab_coverage",  # frequency-ranked vocab + coverage targets
     "q_lsh_recall",  # candidate recall vs exact-Jaccard ground truth
+    "q_stream_curation",  # streaming quality gate + stateful content dedup
 ]
 
 

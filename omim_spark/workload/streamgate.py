@@ -587,3 +587,75 @@ def q_stream_neardup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "q_stream_curation",
+    oracle="""
+    WITH qual AS (
+      SELECT doc_id, source, MD5(text) AS h,
+             LEN(STRING_SPLIT(text, ' ')) AS n_tok
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 25
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT doc_id, source, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+        FROM qual
+      ) WHERE rk = 1
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+    FROM dedup GROUP BY source ORDER BY source
+    """,
+)
+def q_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest curation under the gate: the documents table
+    replayed as a file-source stream through the quality gate (>= 25
+    tokens, stateless pre-filter) and the stateful first-seen content
+    dedup (applyInPandasWithState keyed by md5(text), min doc_id wins
+    within the arrival batch), then the admitted set rolled up per
+    source.  With a single-file source the whole stream is one
+    micro-batch, so the admitted set equals the batch quality+dedup
+    stages of q_pretrain_curation — while exercising the real state
+    store and Arrow state machinery.
+
+    Scale: junk is dropped before the state-store shuffle; state is
+    one counter per distinct content hash."""
+    from ..streaming.stateful import streaming_curation
+
+    run_id = uuid.uuid4().hex[:12]
+    base = _SCRATCH / f"curate_{run_id}"
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    try:
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def land(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(sink)
+
+        (
+            streaming_curation(stream, min_tokens=25)
+            .writeStream.foreachBatch(land)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return (
+            spark.read.parquet(sink)
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_kept"),
+                F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+            )
+            .orderBy("source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

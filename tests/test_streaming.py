@@ -204,3 +204,53 @@ class TestNeardupRegistry:
             .collect()
         }
         assert final == expected
+
+
+class TestStreamingCuration:
+    """Quality gate + stateful content dedup across forced micro-batches."""
+
+    def test_multi_batch_admits_each_hash_once(
+        self, spark, tmp_path_factory, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from omim_spark.streaming.stateful import streaming_curation
+        from omim_spark.workload.registry import table
+
+        src = str(tmp_path_factory.mktemp("curate_in"))
+        docs = table(spark, SF_DIR, "documents").select("doc_id", "text", "source")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        admitted = []
+
+        def sink(df, epoch_id):
+            admitted.append((epoch_id, df.toPandas()))
+
+        (
+            streaming_curation(stream, min_tokens=25)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        assert len(admitted) > 1  # state crossed micro-batches
+
+        hashes = [h for _e, pdf in admitted for h in pdf["content_hash"]]
+        assert len(hashes) == len(set(hashes))  # each hash admitted ONCE
+
+        expected = (
+            docs.withColumn("n_tok", F.size(F.split("text", " ")))
+            .filter(F.col("n_tok") >= 25)
+            .select(F.md5(F.col("text").cast("binary")).alias("h"))
+            .distinct()
+            .count()
+        )
+        assert len(hashes) == expected
