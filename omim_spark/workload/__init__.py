@@ -71,6 +71,7 @@ _VERIFY_FIRST = [
     "q_vocab_coverage",  # frequency-ranked vocab + coverage targets
     "q_lsh_recall",  # candidate recall vs exact-Jaccard ground truth
     "q_stream_curation",  # streaming quality gate + stateful content dedup
+    "q_feature_hashing",  # hashing-trick vectorizer, signed md5 buckets
 ]
 
 

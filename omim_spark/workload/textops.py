@@ -612,3 +612,66 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("target_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick" vectorizer)
+# ---------------------------------------------------------------------------
+
+FH_DIMS = 16
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 50
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(STRPOS('0123456789abcdef', SUBSTR(MD5(tok), 1, 1)) - 1
+                  AS BIGINT) % {FH_DIMS} AS dim,
+             CASE WHEN STRPOS('0123456789abcdef', SUBSTR(MD5(tok), 2, 1)) - 1 >= 8
+                  THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    )
+    SELECT doc_id, dim, CAST(SUM(sgn) AS BIGINT) AS val
+    FROM hashed
+    GROUP BY doc_id, dim
+    HAVING SUM(sgn) <> 0
+    ORDER BY doc_id, dim
+    """,
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing ("hashing trick") vectorizer (Weinberger et al.
+    2009): every token maps to one of {FH_DIMS} dimensions via its md5
+    (first nibble mod dims) with a signed contribution (second nibble
+    >= 8 -> +1 else -1, which unbiases collisions); a document's
+    sparse vector is the per-dimension signed count.  Emitted as
+    non-zero (doc_id, dim, val) triples for the first 50 docs.
+
+    Scale: the vectorizer is a fixed-width projection REGARDLESS of
+    vocabulary size — no vocabulary dictionary to build, broadcast, or
+    keep consistent across a 1000-executor cluster (the entire point
+    of the trick vs a count-vectorizer); one map-side-combinable
+    aggregation on uniform (doc, dim) keys; at full width (2^18+) the
+    same plan emits array columns instead of triples."""
+    toks = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    h = F.md5(F.col("tok").cast("binary"))
+    nib = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1
+    hashed = toks.select(
+        "doc_id",
+        (nib(1).cast("bigint") % FH_DIMS).alias("dim"),
+        F.when(nib(2) >= 8, 1).otherwise(-1).alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("bigint").alias("val"))
+        .filter(F.col("val") != 0)
+        .orderBy("doc_id", "dim")
+    )

@@ -254,3 +254,72 @@ class TestStreamingCuration:
             .count()
         )
         assert len(hashes) == expected
+
+
+class TestCheckpointRestart:
+    """State-store durability: a streaming query stopped and RESTARTED
+    from its checkpoint must resume with its keyed state intact (not
+    re-admit hashes it admitted before the stop)."""
+
+    def test_curation_state_survives_restart(
+        self, spark, tmp_path_factory, tmp_path
+    ):
+        import shutil as _sh
+
+        from pyspark.sql import functions as F
+
+        from omim_spark.streaming.stateful import streaming_curation
+        from omim_spark.workload.registry import table
+
+        src = str(tmp_path_factory.mktemp("restart_in"))
+        ckpt = str(tmp_path / "restart_ckpt")
+        docs = table(spark, SF_DIR, "documents").select(
+            "doc_id", "text", "source"
+        )
+        # Phase 1: only the even docs are visible; run to completion.
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def drain():
+            out = []
+
+            def sink(df, _e):
+                out.append(df.toPandas())
+
+            (
+                streaming_curation(
+                    spark.readStream.schema(schema).parquet(src),
+                    min_tokens=25,
+                )
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            return [h for pdf in out for h in pdf["content_hash"]]
+
+        first = drain()
+        assert first  # phase 1 admitted something
+
+        # Phase 2: add the odd docs as a new file; RESTART from the
+        # same checkpoint. Only genuinely new hashes may be admitted.
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        second = drain()
+
+        assert second  # phase 2 processed the new file
+        assert not (set(first) & set(second))  # no hash re-admitted
+        expected_total = (
+            docs.withColumn("n_tok", F.size(F.split("text", " ")))
+            .filter(F.col("n_tok") >= 25)
+            .select(F.md5(F.col("text").cast("binary")))
+            .distinct()
+            .count()
+        )
+        assert len(set(first) | set(second)) == expected_total
+        _sh.rmtree(ckpt, ignore_errors=True)
