@@ -72,6 +72,8 @@ _VERIFY_FIRST = [
     "q_lsh_recall",  # candidate recall vs exact-Jaccard ground truth
     "q_stream_curation",  # streaming quality gate + stateful content dedup
     "q_feature_hashing",  # hashing-trick vectorizer, signed md5 buckets
+    "q_sequence_pattern",  # MATCH_RECOGNIZE-lite journey regex per user
+    "q_linear_fit",  # closed-form regression from sufficient statistics
 ]
 
 

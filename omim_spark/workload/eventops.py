@@ -746,3 +746,135 @@ def q_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sequence_pattern",
+    oracle="""
+    WITH j AS (
+      SELECT user_id,
+             STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS journey
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT user_id,
+             CASE WHEN REGEXP_MATCHES(journey, 'v.*c.*p')
+                  THEN 1 ELSE 0 END AS hit
+      FROM j
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(hit) AS BIGINT) AS n_matched,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS match_rate
+    FROM m
+    """,
+)
+def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE shape):
+    each user's journey is their event-type initials in strict
+    (ts, event_id) order; count users whose journey matches
+    view -> ... -> click -> ... -> purchase (regex ``v.*c.*p``).
+
+    Scale: one shuffle on user_id; the journey builds as an in-group
+    sort of an already-grouped collect (array_sort of structs — NO
+    per-user window pass), and the regex runs once per USER, not per
+    event.  Journeys are bounded by per-user event counts; a pattern
+    needing only the last-k events would slice the array first."""
+    ev = events_table(spark, sf_dir)
+    j = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(e)), x -> x.c), '')"
+            ).alias("journey")
+        )
+    )
+    hit = F.when(F.col("journey").rlike("v.*c.*p"), 1).otherwise(0)
+    return j.select(hit.alias("hit")).agg(
+        F.count("*").alias("n_users"),
+        F.sum("hit").cast("bigint").alias("n_matched"),
+        F.round(
+            F.sum("hit").cast("double") / F.count("*"), 6
+        ).alias("match_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form linear regression per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_linear_fit",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS x, value AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM s ORDER BY event_type
+    """,
+)
+def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group linear regression (value ~ hour-of-day
+    per event_type): slope and intercept from the five sufficient
+    statistics (n, Σx, Σx², Σy, Σxy), each an exact aggregate — the
+    float sums go through DECIMAL(18,6) so partition order cannot
+    change them, then the normal-equation arithmetic runs in double
+    with an identical operation order on both engines.
+
+    Scale: THE pattern for distributed ML-ish fitting — sufficient
+    statistics are map-side-combinable (one shuffle of 5 numbers per
+    group, regardless of row count); the solve is O(groups).  A
+    multivariate fit ships X'X / X'y the same way."""
+    ev = events_table(spark, sf_dir)
+    pts = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.col("value").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    ).orderBy("event_type")
