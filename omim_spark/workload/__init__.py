@@ -74,6 +74,8 @@ _VERIFY_FIRST = [
     "q_feature_hashing",  # hashing-trick vectorizer, signed md5 buckets
     "q_sequence_pattern",  # MATCH_RECOGNIZE-lite journey regex per user
     "q_linear_fit",  # closed-form regression from sufficient statistics
+    "q_incremental_rollup",  # merge(base, delta) == recompute, proven
+    "q_ab_experiment",  # deterministic arms, Welch t from exact sums
 ]
 
 

@@ -1006,3 +1006,160 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-rollup maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_incremental_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY month
+    ORDER BY month
+    """,
+)
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized monthly rollup: the
+    'existing' rollup (orders with o_orderkey % 10 != 0, standing in
+    for yesterday's materialization) is merged with the rollup of just
+    the delta batch (o_orderkey % 10 = 0) via a full-outer key merge —
+    counts add, decimal-exact revenues add.  The oracle is the full
+    recompute, so the gate proves merge(base, delta) == recompute —
+    the algebraic property incremental view maintenance rests on.
+
+    Scale: the whole point at 100 TB — the delta rollup touches only
+    the new partition's rows and the merge shuffles |months| rows, so
+    refreshing the view costs O(delta), not O(history).  Works for
+    any commutative-monoid aggregate (count/sum/min/max/HLL — see
+    q_hll_merge_rollup for the sketch version)."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        "o_totalprice",
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev_d"),
+        )
+
+    base = rollup(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = rollup(orders.filter(F.col("o_orderkey") % 10 == 0))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, "month", "full_outer")
+        .select(
+            "month",
+            (
+                F.coalesce(F.col("b.n_orders"), F.lit(0))
+                + F.coalesce(F.col("d.n_orders"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("b.rev_d"), F.lit(0).cast("decimal(18,6)"))
+                + F.coalesce(F.col("d.rev_d"), F.lit(0).cast("decimal(18,6)"))
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout (Welch's t)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ab_experiment",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN STRPOS('0123456789abcdef',
+                       SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 1)) - 1 < 8
+                  THEN 'A' ELSE 'B' END AS arm,
+             o_totalprice AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT arm,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(y * y AS DECIMAL(22,6))) AS DOUBLE) AS syy
+      FROM assigned GROUP BY arm
+    ),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+             MAX(CASE WHEN arm = 'A' THEN sy END) AS sya,
+             MAX(CASE WHEN arm = 'A' THEN syy END) AS syya,
+             MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+             MAX(CASE WHEN arm = 'B' THEN sy END) AS syb,
+             MAX(CASE WHEN arm = 'B' THEN syy END) AS syyb
+      FROM s
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(sya / na, 6) AS mean_a,
+           ROUND(syb / nb, 6) AS mean_b,
+           ROUND((sya / na - syb / nb)
+                 / SQRT((syya / na - (sya / na) * (sya / na)) / na
+                        + (syyb / nb - (syb / nb) * (syb / nb)) / nb), 6)
+             AS t_stat
+    FROM w
+    """,
+)
+def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: customers assign to arms by md5 parity
+    (deterministic, never rand() — membership survives reruns); per
+    arm, n / mean / Welch's t-statistic for the order-value metric,
+    all from decimal-exact sufficient statistics (Σy, Σy²) with the
+    final arithmetic in double, identical operation order on both
+    engines.
+
+    Scale: the experiment readout over 100 TB is TWO numbers per arm
+    shuffled (map-side-combinable sums); assignment is a stateless
+    hash — no assignment table to join, no skew (md5 is uniform)."""
+    orders = table(spark, sf_dir, "orders")
+    nib = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("o_custkey").cast("string").cast("binary")), 1, 1),
+        )
+        - 1
+    )
+    assigned = orders.select(
+        F.when(nib < 8, "A").otherwise("B").alias("arm"),
+        F.col("o_totalprice").alias("y"),
+    )
+    s = assigned.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("sy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(22,6)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    w = s.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("sy"))).alias("sya"),
+        F.max(F.when(F.col("arm") == "A", F.col("syy"))).alias("syya"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("sy"))).alias("syb"),
+        F.max(F.when(F.col("arm") == "B", F.col("syy"))).alias("syyb"),
+    )
+    ma = F.col("sya") / F.col("na")
+    mb = F.col("syb") / F.col("nb")
+    va = (F.col("syya") / F.col("na") - ma * ma) / F.col("na")
+    vb = (F.col("syyb") / F.col("nb") - mb * mb) / F.col("nb")
+    return w.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round((ma - mb) / F.sqrt(va + vb), 6).alias("t_stat"),
+    )
