@@ -76,6 +76,8 @@ _VERIFY_FIRST = [
     "q_linear_fit",  # closed-form regression from sufficient statistics
     "q_incremental_rollup",  # merge(base, delta) == recompute, proven
     "q_ab_experiment",  # deterministic arms, Welch t from exact sums
+    "q_phrase_search",  # positional posting lists, adjacency join
+    "q_k_anonymity",  # quasi-identifier classes below k
 ]
 
 

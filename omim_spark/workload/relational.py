@@ -1163,3 +1163,44 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mb, 6).alias("mean_b"),
         F.round((ma - mb) / F.sqrt(va + vb), 6).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (data-governance gate)
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size
+    FROM g WHERE group_size < {K_ANON}
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier pair: emit every equivalence class smaller than
+    k={K_ANON} — the rows a release would have to suppress or
+    generalize before publication.  The governance gate a training-
+    data pipeline runs before any customer-derived dataset ships.
+
+    Scale: one map-side-combinable aggregation on the quasi-identifier
+    key; the audit output is bounded by the (tiny) violating-class
+    count, never the table.  Wider quasi-identifier sets are the same
+    plan with a longer grouping key (or a grouping-sets lattice — see
+    q_grouping_sets_lattice — to audit every subset at once)."""
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < K_ANON)
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -675,3 +675,55 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("val") != 0)
         .orderBy("doc_id", "dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (inverted index with positions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_phrase_search",
+    oracle="""
+    WITH pos0 AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                    (x, i) -> struct_pack(tok := x, p := i))) AS s
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, s.tok AS tok, CAST(s.p AS BIGINT) AS p FROM pos0),
+    a AS (SELECT doc_id, p FROM pos WHERE tok = 'hash'),
+    b AS (SELECT doc_id, p FROM pos WHERE tok = 'join')
+    SELECT a.doc_id, COUNT(*) AS n_occurrences
+    FROM a JOIN b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search ("hash join"): build the positional
+    posting lists for each phrase term and join them on (doc,
+    position+1) adjacency — the inverted-index primitive behind exact
+    phrase queries in a search engine (BM25 ranks, this FINDS).
+
+    Scale: posting lists are filtered to the phrase's terms BEFORE any
+    shuffle (predicate on the exploded token — at 100 TB the index is
+    pre-materialized partitioned by term, so this probes 2 partitions);
+    the adjacency join shuffles only the two terms' postings, keyed by
+    doc — never the corpus."""
+    pos = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok"))
+        # 1-based positions to mirror WITH ORDINALITY
+        .select("doc_id", "tok", (F.col("i") + 1).cast("bigint").alias("p"))
+    )
+    a = pos.filter(F.col("tok") == "hash").select("doc_id", "p")
+    b = pos.filter(F.col("tok") == "join").select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, (F.col("doc_b") == F.col("doc_id")) & (F.col("pb") == F.col("p") + 1))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )
