@@ -85,15 +85,27 @@ def lsh_bucketize(
     vec_col: str = "embedding",
     out_col: str = "bucket",
 ) -> DataFrame:
-    """Add a sign-LSH bucket id column (0 .. 2^n_planes − 1)."""
+    """Add a sign-LSH bucket id column (0 .. 2^n_planes − 1).
+
+    The plane matrix is materialized ONCE in a broadcast single-row
+    DataFrame — inlining the md5 synthesis into the per-row lambda
+    makes Spark re-evaluate the full n_planes×dim md5 grid per element
+    access (measured ~15-50× slower; round-4 fix)."""
+    planes = df.sparkSession.range(1).select(
+        F.expr(_planes_expr(n_planes, dim)).alias("_lsh_pl")
+    )
     bucket = F.expr(
         f"aggregate(transform(sequence(1, {n_planes}), j -> "
-        f"case when aggregate(zip_with(element_at({_planes_expr(n_planes, dim)}, j), "
+        "case when aggregate(zip_with(element_at(_lsh_pl, j), "
         f"transform({vec_col}, x -> cast(x as double)), "
         "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0 "
         "then shiftleft(1L, j - 1) else 0L end), 0L, (acc, x) -> acc + x)"
     )
-    return df.withColumn(out_col, bucket)
+    return (
+        df.crossJoin(F.broadcast(planes))
+        .withColumn(out_col, bucket)
+        .drop("_lsh_pl")
+    )
 
 
 def ann_topk(

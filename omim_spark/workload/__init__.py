@@ -54,6 +54,7 @@ from . import maintenance  # noqa: E402,F401
 _VERIFY_FIRST = [
     # Modified in round 4.
     "q_kmeans_assign",  # map-side argmin over broadcast centroid array
+    "q_ann_lsh_buckets",  # planes materialized once (15x perf fix)
     "q_dedup_minhash_lsh",  # signature stage now row-local (no shuffle)
     "q_dedup_cluster_survivors",  # same helper swap (_minhash_rowlocal)
     "q_stream_upsert_cache",  # upsert_stream atomic swap + strict cache read

@@ -126,14 +126,19 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double().alias("v")
     )
+    # Planes materialized once in a broadcast single-row DF (inlining
+    # the md5 synthesis into the lambda re-evaluates the whole plane
+    # grid per element access — measured ~15x slower; round-4 fix).
+    planes = spark.range(1).select(F.expr(_PLANES_SPARK).alias("pl"))
     bucket = F.expr(
         f"aggregate(transform(sequence(1, {N_PLANES}), j -> "
-        f"case when aggregate(zip_with(element_at({_PLANES_SPARK}, j), v, "
+        "case when aggregate(zip_with(element_at(pl, j), v, "
         "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0 "
         "then shiftleft(1L, j - 1) else 0L end), 0L, (acc, x) -> acc + x)"
     )
     return (
-        emb.select(bucket.alias("bucket"))
+        emb.crossJoin(F.broadcast(planes))
+        .select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
         .orderBy("bucket")
@@ -551,191 +556,178 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Semantic dedup (SemDeDup-style: cluster, then prune near-identical
-# pairs inside each cluster, keeping the centroid-closest survivor)
+# Semantic dedup (SemDeDup-style: sign-LSH coarse buckets, then prune
+# near-identical pairs inside each bucket, mean-closest survivor wins)
 # ---------------------------------------------------------------------------
 
-SEMDEDUP_K = 8  # minimum cluster count
-SEMDEDUP_CLUSTER = 64  # target cluster size; K grows as n / this
+SD_PLANES = 16  # fixed hyperplane budget; bucket = low p bits of the sign word
+SEMDEDUP_CLUSTER = 64  # target bucket size; p = ceil(log2(n / this))
 SEMDEDUP_TAU = 0.40
-PAIR_SALT = 8  # fan-out factor for the in-cluster pair join
+PAIR_SALT = 8  # fan-out factor for the in-bucket pair join
 
-# Squared-L2 folds for the hierarchical assignment oracle (same
-# sequential accumulation order as the Spark zip_with fold).
-_D2_CS = _D2.format(a="cv", b="sv")  # centroid -> super seed
-_D2_VS = _D2.format(a="v", b="sv")  # vector -> super seed
-_D2_VC = _D2.format(a="v", b="cv")  # vector -> centroid
+_SD_PLANES_SPARK = (
+    f"transform(sequence(0, {SD_PLANES - 1}), j -> "
+    f"transform(sequence(1, {DIM}), i -> "
+    "case when instr('0123456789abcdef', "
+    "substring(md5(cast(concat(j, ':', i) as binary)), 1, 1)) - 1 >= 8 "
+    "then 1.0D else -1.0D end))"
+)
+_SD_PLANES_DUCK = (
+    f"list_transform(generate_series(0, {SD_PLANES - 1}), j -> "
+    f"list_transform(generate_series(1, {DIM}), i -> "
+    "CASE WHEN strpos('0123456789abcdef', "
+    "substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8 "
+    "THEN 1.0 ELSE -1.0 END))"
+)
+# The plane matrix must be materialized ONCE (a broadcast single-row
+# DataFrame referenced as column `pl`): inlining the md5 synthesis
+# into the per-row lambda re-evaluates the full 16x64 md5 grid per
+# element access — measured 50x slower.
+_SD_BITS_SPARK = (
+    f"aggregate(transform(sequence(1, {SD_PLANES}), j -> "
+    "case when aggregate(zip_with(element_at(pl, j), v, "
+    "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x) > 0 "
+    "then shiftleft(cast(1 as bigint), j - 1) else cast(0 as bigint) end), "
+    "cast(0 as bigint), (acc, x) -> acc + x)"
+)
 
 
 @register(
     "q_semantic_dedup",
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planes AS (SELECT {_SD_PLANES_DUCK} AS pl),
     prm AS (
-      SELECT GREATEST({SEMDEDUP_K}, COUNT(*) // {SEMDEDUP_CLUSTER}) AS k,
-             GREATEST(4, CAST(FLOOR(SQRT(GREATEST({SEMDEDUP_K},
-                 COUNT(*) // {SEMDEDUP_CLUSTER}))) AS BIGINT)) AS s
+      SELECT GREATEST(3, CAST(CEIL(LOG2(COUNT(*) / {SEMDEDUP_CLUSTER}.0)
+                                   - 1e-9) AS BIGINT)) AS p
       FROM e
     ),
-    sups AS (
-      SELECT vec_id AS sid, v AS sv FROM e
-      WHERE vec_id < (SELECT s FROM prm)
+    h AS (
+      SELECT vec_id, v,
+             LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, {SD_PLANES}), j ->
+               CASE WHEN LIST_DOT_PRODUCT(pl[j], v) > 0
+                    THEN 1 << (j - 1) ELSE 0 END))::BIGINT
+               & ((1 << (SELECT p FROM prm)) - 1) AS bucket
+      FROM e CROSS JOIN planes
     ),
-    cents0 AS (
-      SELECT vec_id AS cid, v AS cv FROM e
-      WHERE vec_id < (SELECT k FROM prm)
+    dims AS (
+      SELECT bucket, i,
+             CAST(SUM(CAST(v[i] AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM h CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {DIM})) AS i)
+      GROUP BY bucket, i
     ),
-    csc AS (
-      SELECT cid, cv, sid,
-             ROW_NUMBER() OVER (PARTITION BY cid
-                                ORDER BY {_D2_CS}, sid) AS rk
-      FROM cents0 CROSS JOIN sups
-    ),
-    cents AS (SELECT cid, cv, sid AS scell FROM csc WHERE rk = 1),
-    vsc AS (
-      SELECT e.vec_id, sid,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                ORDER BY {_D2_VS}, sid) AS rk
-      FROM e CROSS JOIN sups
-    ),
-    vsup AS (SELECT vec_id, sid AS s_v FROM vsc WHERE rk = 1),
-    scored AS (
-      SELECT e.vec_id, c.cid, {_D2_VC} AS d2,
-             ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                ORDER BY {_D2_VC}, c.cid) AS rk
-      FROM e JOIN vsup USING (vec_id)
-      JOIN cents c ON c.scell = vsup.s_v
-    ),
+    means AS (SELECT bucket, LIST(m ORDER BY i) AS mv FROM dims GROUP BY bucket),
     a AS (
-      SELECT s.vec_id, s.cid, s.d2, e.v
-      FROM scored s JOIN e USING (vec_id) WHERE rk = 1
+      SELECT h.vec_id, h.bucket, h.v,
+             list_sum(list_transform(list_zip(h.v, mv),
+                      q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d2
+      FROM h JOIN means USING (bucket)
     ),
     pairs AS (
-      SELECT x.cid,
+      SELECT x.bucket,
              CASE WHEN x.d2 < y.d2 THEN y.vec_id
                   WHEN x.d2 > y.d2 THEN x.vec_id
                   ELSE y.vec_id END AS loser
-      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      FROM a x JOIN a y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
       WHERE {_COS_DUCK.format(a='x.v', b='y.v')} >= {SEMDEDUP_TAU}
     ),
     dropped AS (
-      SELECT cid, COUNT(DISTINCT loser) AS n_dropped FROM pairs GROUP BY cid
+      SELECT bucket, COUNT(DISTINCT loser) AS n_dropped FROM pairs GROUP BY bucket
     ),
-    sizes AS (SELECT cid, COUNT(*) AS n_vecs FROM a GROUP BY cid)
-    SELECT s.cid AS cluster_id, s.n_vecs,
+    sizes AS (SELECT bucket, COUNT(*) AS n_vecs FROM a GROUP BY bucket)
+    SELECT s.bucket AS cluster_id, s.n_vecs,
            COALESCE(d.n_dropped, 0) AS n_dropped,
            s.n_vecs - COALESCE(d.n_dropped, 0) AS n_kept
-    FROM sizes s LEFT JOIN dropped d USING (cid)
+    FROM sizes s LEFT JOIN dropped d USING (bucket)
     ORDER BY cluster_id
     """,
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
-    arXiv:2303.09540): cluster every embedding to its nearest seed
-    centroid, then inside each cluster treat pairs with cosine >=
-    {SEMDEDUP_TAU} as semantic duplicates and drop the member farther
-    from its centroid (vec_id breaks exact ties) — per cluster, report
-    sizes before/after.
+    arXiv:2303.09540): partition embeddings into sign-LSH coarse
+    buckets, treat in-bucket pairs with cosine >= {SEMDEDUP_TAU} as
+    semantic duplicates, and drop the member farther from its BUCKET
+    MEAN (vec_id breaks exact ties) — per bucket, report sizes
+    before/after.
 
-    Scale: this is THE tractable shape for embedding dedup at 100 TB.
-    Two structural choices keep the whole plan (sub-)linear, both
-    measured by the round-4 scale probe:
-    (1) the cluster count K = max({SEMDEDUP_K}, n / {SEMDEDUP_CLUSTER})
-    GROWS WITH THE CORPUS (seeds vec_id < K, K from one count
-    aggregate) so cluster sizes stay bounded and total pair work is
-    O(n x cluster_size) — with K fixed the probe measured exponent
-    1.62 (quadratic pair growth);
-    (2) assignment is a HIERARCHICAL coarse quantizer — argmin over
-    sqrt(K) broadcast super-seeds, then argmin over only that
-    super-cell's centroids (array filter) — because a flat argmin
-    over K ~ n/{SEMDEDUP_CLUSTER} centroids is itself O(n^2) fold
-    work.  Together: exponent 0.75 at the 10x probe (184 s -> 15 s).
-    Every argmin is a broadcast array-of-structs row-local fold, as
-    in q_kmeans_assign (stateless map, no K x N row blow-up); a
-    super-cell can never be empty (each super-seed is its own
-    centroid and the two argmins share the (d2, id) tie-break).  Two
-    pair-stage economies that matter at any scale: (1) vector norms
-    are folded ONCE per vector before the join, so each pair pays one
-    dot product instead of three; (2) the in-cluster self-join is
-    SALTED (key (cid, ia % {PAIR_SALT}) with a {PAIR_SALT}-way
-    replicated right side) — with few clusters a plain cid-keyed join
-    funnels into K tasks, the classic skew trap; salting spreads the
-    quadratic work across K x {PAIR_SALT} tasks at the cost of
-    replicating only the cluster members.  All vector math is JVM
-    fold expressions."""
+    Scale: this is the shape that stays LINEAR across decades — the
+    round-4 scale probe measured the two earlier designs super-linear
+    and this one replaced them:
+    - seed-kmeans with FIXED K: exponent 1.62 (pair stage quadratic);
+    - corpus-proportional K with a two-level argmin quantizer:
+      0.85 at 10x but 1.16 over two decades (assignment is O(n*sqrt(K))
+      = O(n^1.5) when K grows with n).
+    Here assignment is {SD_PLANES} fixed md5-derived hyperplane dot
+    products per vector — O(n), zero model state, no shuffle — and the
+    bucket-id mask keeps E[bucket size] ~ {SEMDEDUP_CLUSTER} by taking
+    p = ceil(log2(n/{SEMDEDUP_CLUSTER})) low bits (p from one count
+    aggregate; the 16-plane sign word is computed identically at any p,
+    so the expression shape is scale-independent).  Bucket means are
+    one decimal-exact aggregation (|buckets| x {DIM} keys); the
+    quadratic cosine scan is confined to ~{SEMDEDUP_CLUSTER}-sized
+    buckets, SALTED {PAIR_SALT}-way so few-bucket corpora can't funnel
+    into single tasks; norms fold once per vector so each pair pays
+    one dot product."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double().alias("v")
     )
-    kdf = emb.agg(
+    pdf = emb.agg(
         F.greatest(
-            F.lit(SEMDEDUP_K),
-            (F.count("*") / SEMDEDUP_CLUSTER).cast("bigint"),
-        ).alias("k")
-    ).select(
-        "k",
-        F.greatest(
-            F.lit(4), F.floor(F.sqrt(F.col("k"))).cast("bigint")
-        ).alias("s"),
+            F.lit(3),
+            F.ceil(
+                F.log2(F.count("*") / SEMDEDUP_CLUSTER) - F.lit(1e-9)
+            ).cast("bigint"),
+        ).alias("p")
     )
-    sup_arr = (
-        emb.crossJoin(F.broadcast(kdf))
-        .filter(F.col("vec_id") < F.col("s"))
-        .agg(
-            F.collect_list(
-                F.struct(F.col("vec_id").alias("sid"), F.col("v").alias("sv"))
-            ).alias("sups")
-        )
-    )
-    # Nearest super-seed for the row's vector column `v` — shared by
-    # the centroid labelling and the per-vector coarse assignment.
-    best_sup = (
-        "array_min(transform(sups, c -> struct("
-        "aggregate(zip_with(v, c.sv, (x, y) -> (x - y) * (x - y)), 0.0D, "
-        "(acc, x) -> acc + x) AS d2, c.sid AS sid))).sid"
-    )
-    cents = (
-        emb.crossJoin(F.broadcast(kdf))
-        .filter(F.col("vec_id") < F.col("k"))
-        .crossJoin(F.broadcast(sup_arr))
-        .select("vec_id", "v", F.expr(best_sup).alias("scell"))
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            "scell",
-        )
-    )
-    cent_arr = cents.agg(
-        F.collect_list(F.struct("cid", "cv", "scell")).alias("cents")
-    )
-    best_in_cell = (
-        "array_min(transform(filter(cents, c -> c.scell = s_v), c -> struct("
-        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0.0D, "
-        "(acc, x) -> acc + x) AS d2, c.cid AS cid)))"
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(sup_arr))
-        .select("vec_id", "v", F.expr(best_sup).alias("s_v"))
-        .crossJoin(F.broadcast(cent_arr))
-        .select("vec_id", "v", F.expr(best_in_cell).alias("_b"))
+    planes = spark.range(1).select(F.expr(_SD_PLANES_SPARK).alias("pl"))
+    h = (
+        emb.crossJoin(F.broadcast(planes))
+        .crossJoin(F.broadcast(pdf))
         .select(
             "vec_id",
-            F.col("_b.cid").alias("cid"),
-            F.col("_b.d2").alias("d2"),
             "v",
+            F.expr(
+                f"({_SD_BITS_SPARK}) & "
+                "(shiftleft(cast(1 as bigint), cast(p as int)) - 1)"
+            ).alias("bucket"),
         )
     )
-    # Norm folded once per vector — pairs then pay ONE dot product.
-    assigned = assigned.withColumn("nrm", F.sqrt(_dot("v", "v")))
-    x = assigned.select(
-        F.col("cid"),
+    dims = (
+        h.select("bucket", F.posexplode("v").alias("pos", "x"))
+        .groupBy("bucket", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    means = dims.groupBy("bucket").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, m))), s -> s.m)"
+        ).alias("mv")
+    )
+    a = (
+        h.join(means, "bucket")
+        .withColumn(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(v, mv, (x, y) -> (x - y) * (x - y)), "
+                "0.0D, (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn("nrm", F.sqrt(_dot("v", "v")))
+    )
+    x = a.select(
+        F.col("bucket"),
         F.col("vec_id").alias("ia"),
         F.col("d2").alias("da"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
         (F.col("vec_id") % PAIR_SALT).cast("int").alias("salt"),
     )
-    y = assigned.select(
-        F.col("cid"),
+    y = a.select(
+        F.col("bucket"),
         F.col("vec_id").alias("ib"),
         F.col("d2").alias("db"),
         F.col("v").alias("vb"),
@@ -745,25 +737,25 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     pairs = (
-        x.join(y, ["cid", "salt"])
+        x.join(y, ["bucket", "salt"])
         .filter(F.col("ia") < F.col("ib"))
         .filter(cos >= SEMDEDUP_TAU)
         .select(
-            "cid",
+            "bucket",
             F.when(F.col("da") < F.col("db"), F.col("ib"))
             .when(F.col("da") > F.col("db"), F.col("ia"))
             .otherwise(F.col("ib"))
             .alias("loser"),
         )
     )
-    dropped = pairs.groupBy("cid").agg(
+    dropped = pairs.groupBy("bucket").agg(
         F.countDistinct("loser").alias("n_dropped")
     )
-    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    sizes = a.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
     return (
-        sizes.join(dropped, "cid", "left")
+        sizes.join(dropped, "bucket", "left")
         .select(
-            F.col("cid").alias("cluster_id"),
+            F.col("bucket").alias("cluster_id"),
             "n_vecs",
             F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
             (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),

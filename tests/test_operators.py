@@ -581,13 +581,15 @@ class TestSemanticDedup:
     SF = "/root/testdata/sf0.001"
 
     def test_partition_invariants(self, spark):
+        import math
+
         from omim_spark.workload import QUERIES
-        from omim_spark.workload.similarity import SEMDEDUP_CLUSTER, SEMDEDUP_K
+        from omim_spark.workload.similarity import SEMDEDUP_CLUSTER
 
         total = spark.read.parquet(f"{self.SF}/embeddings.parquet").count()
-        k = max(SEMDEDUP_K, total // SEMDEDUP_CLUSTER)
+        p = max(3, math.ceil(math.log2(total / SEMDEDUP_CLUSTER) - 1e-9))
         rows = QUERIES["q_semantic_dedup"].fn(spark, self.SF).collect()
-        assert 0 < len(rows) <= k
+        assert 0 < len(rows) <= 2**p
         assert sum(r.n_vecs for r in rows) == total  # partition covers corpus
         for r in rows:
             assert r.n_kept + r.n_dropped == r.n_vecs
