@@ -46,11 +46,12 @@ from . import maintenance  # noqa: E402,F401
 #   (e.g. streaming/jobs.py:upsert_stream → q_stream_upsert_cache;
 #   the dedup.py minhash helper rewrite → all three LSH consumers,
 #   all listed below).
-# - belt-and-braces: late in round 4 the ENTIRE registry was replayed
-#   against the DuckDB oracle locally via tools/check_oracle.py at
-#   BOTH sf0.01 (137 pass, 0 fail) and sf0.1 (139 pass, 0 fail, incl.
-#   q_vocab_coverage/q_lsh_recall added between the sweeps); the one
-#   rows-only row is q_events_hourly_hll, rows-only by design.
+# - belt-and-braces: the ENTIRE registry was replayed against the
+#   DuckDB oracle locally via tools/check_oracle.py three times during
+#   round 4 — sf0.01 mid-round (137 pass, 0 fail), sf0.1 (139 pass,
+#   0 fail), and sf0.01 again AFTER the final code change (147 pass,
+#   0 fail, all 148 queries); the one rows-only row is
+#   q_events_hourly_hll, rows-only by design.
 _VERIFY_FIRST = [
     # Modified in round 4.
     "q_kmeans_assign",  # map-side argmin over broadcast centroid array
