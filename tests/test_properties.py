@@ -128,3 +128,63 @@ class TestChunkingProperty:
                 start = (r.chunk_id - 1) * stride
                 covered.update(range(start, start + r.n_chunk_tokens))
             assert covered == set(range(n_tokens))
+
+
+class TestBloomProperty:
+    """Bloom pruning must NEVER drop a true member, for any key sets."""
+
+    @given(
+        build=st.lists(st.integers(0, 50), min_size=0, max_size=12),
+        probe=st.lists(st.integers(0, 50), min_size=0, max_size=12),
+    )
+    @settings(**SETTINGS)
+    def test_no_false_negatives(self, spark, build, probe):
+        from omim_spark.operators.bloom import bloom_prune
+
+        if not build:
+            return  # empty build side: nothing to prune against
+        b = spark.createDataFrame([(k,) for k in build], ["k"])
+        p = spark.createDataFrame([(k,) for k in probe], ["k"]) if probe else None
+        if p is None:
+            return
+        kept = {r.k for r in bloom_prune(p, b, "k", "k").collect()}
+        true_members = set(probe) & set(build)
+        assert true_members <= kept  # soundness: no true member dropped
+
+
+class TestMinhashRowLocalProperty:
+    """The row-local signature computation must equal the explode+groupBy
+    form on ANY document set (the equivalence the round-4 shuffle
+    elimination rests on)."""
+
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", "dd", "e"]),
+                min_size=0,
+                max_size=8,
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(**SETTINGS)
+    def test_equals_grouped_form(self, spark, texts):
+        from omim_spark.workload.dedup import (
+            _minhash_wide,
+            minhash_signatures,
+        )
+        from pyspark.sql import functions as F
+        from omim_spark.workload.dedup import SHINGLE_SPARK
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        rowlocal = {tuple(r) for r in minhash_signatures(docs).collect()}
+        sh = (
+            docs.withColumn("tk", F.split("text", " "))
+            .filter(F.size("tk") >= 3)
+            .select("doc_id", F.explode(F.expr(SHINGLE_SPARK)).alias("s"))
+        )
+        grouped = {tuple(r) for r in _minhash_wide(sh).collect()}
+        assert rowlocal == grouped
