@@ -785,15 +785,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact_ids = dh.join(F.broadcast(hit_h), "h", "semi").select("doc_id")
 
-    # Stage 2 — near-dup over exact survivors.
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
-    bands_all = _minhash_rowlocal(spark, sf_dir)
-    band_pairs = ", ".join(
-        f"{b}, concat(h{2 * b + 1}, '|', h{2 * b + 2})" for b in range(N_BANDS)
-    )
-    bands = bands_all.select(
-        "doc_id", F.expr(f"stack({N_BANDS}, {band_pairs}) AS (band, sig)")
-    )
+    # Stage 2 — near-dup over exact survivors.  Band signatures are
+    # row-local (one pass over documents, no shuffle, no full shingle
+    # explode); the signature table is checkpointed so the delta
+    # branch and the corpus branch read it instead of re-deriving.
+    bands = band_signatures(
+        table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
     bands_delta = (
         bands.filter(F.col("doc_id") % 10 == 0)
         .join(F.broadcast(exact_ids), "doc_id", "anti")
@@ -804,19 +802,26 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bands_delta), ["band", "sig"])
         .select("did", F.col("doc_id").alias("cid"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    # Verification only touches candidate shingles: semi-join each
-    # side of the shingle table down to the candidate ids first.
-    sh_d = sh.join(
-        F.broadcast(cand.select(F.col("did").alias("doc_id")).distinct()),
-        "doc_id",
-        "semi",
-    ).select(F.col("doc_id").alias("did"), "s")
-    sh_c = sh.join(
-        F.broadcast(cand.select(F.col("cid").alias("doc_id")).distinct()),
-        "doc_id",
-        "semi",
-    ).select(F.col("doc_id").alias("cid2"), F.col("s").alias("cs"))
+    # Verification shingles are computed ONLY for candidate docs: the
+    # candidate id set broadcasts onto the documents scan BEFORE the
+    # explode — the corpus-wide |docs|x|shingles| table never exists.
+    cand_ids = (
+        cand.select(F.col("did").alias("doc_id"))
+        .union(cand.select(F.col("cid").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        table(spark, sf_dir, "documents")
+        .join(F.broadcast(cand_ids), "doc_id", "semi")
+        .withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", F.explode(F.expr(SHINGLE_SPARK)).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    sh_d = sh.select(F.col("doc_id").alias("did"), "s")
+    sh_c = sh.select(F.col("doc_id").alias("cid2"), F.col("s").alias("cs"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh_d, "did")
