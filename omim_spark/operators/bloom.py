@@ -55,10 +55,16 @@ def bloom_build(
     map-side combinable (each task sends at most 64 partial lanes
     regardless of input size); the final single-row assembly touches
     64 rows.  The output is ~512 bytes — broadcastable at any build
-    cardinality, unlike the key set itself."""
+    cardinality, unlike the key set itself.
+
+    NULL keys are dropped on both sides (a NULL never equi-joins, so
+    excluding it from the filter and from the probe keeps Bloom
+    pruning exactly consistent with inner/semi join semantics — and a
+    NULL position would otherwise poison the lane map)."""
     n_lanes = n_bits // 64
     lanes = (
-        df.select(
+        df.filter(F.col(key_col).isNotNull())
+        .select(
             F.explode(F.expr(_positions_sql(key_col, n_bits))).alias("pos")
         )
         .select(

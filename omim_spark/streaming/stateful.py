@@ -195,7 +195,12 @@ _CURATE_STATE = StructType([StructField("n_seen", LongType())])
 def _curation_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    rows = pd.concat(list(pdfs), ignore_index=True)
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        # Timeout/empty invocation (reachable once a GroupStateTimeout
+        # TTL is configured): nothing to admit, state untouched.
+        return
+    rows = pd.concat(frames, ignore_index=True)
     n = len(rows)
     if state.exists:
         (seen,) = state.get

@@ -80,6 +80,24 @@ def _shingles_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _candidate_shingles(
+    spark: SparkSession, sf_dir: str, cand_ids: DataFrame
+) -> DataFrame:
+    """(doc_id, s: long) — 64-bit-hashed shingles computed ONLY for the
+    candidate documents: the (tiny) candidate id set broadcasts onto
+    the documents scan BEFORE the explode, so the corpus-wide
+    |docs|x|shingles| table never exists.  Shared by every funnel's
+    verification tier (minhash headline, cluster survivors,
+    incremental delta-vs-corpus)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .join(F.broadcast(cand_ids), "doc_id", "semi")
+        .withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", F.explode(F.expr(SHINGLE_HASHED_SPARK)).alias("s"))
+    )
+
+
 _SHINGLE_CTE_DUCK = f"""
     sh AS (
       SELECT doc_id, UNNEST({SHINGLE_DUCK}) AS s
@@ -373,13 +391,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_h = (
-        table(spark, sf_dir, "documents")
-        .join(F.broadcast(cand_ids), "doc_id", "semi")  # BEFORE the explode
-        .withColumn("tk", F.split("text", " "))
-        .filter(F.size("tk") >= 3)
-        .select("doc_id", F.explode(F.expr(SHINGLE_HASHED_SPARK)).alias("s"))
-        .localCheckpoint(eager=False)
+    sh_h = _candidate_shingles(spark, sf_dir, cand_ids).localCheckpoint(
+        eager=False
     )
     sizes = sh_h.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = sh_h.alias("x"), sh_h.alias("y")
@@ -532,12 +545,7 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh_h = (
-        docs.join(F.broadcast(cand_ids), "doc_id", "semi")
-        .withColumn("tk", F.split("text", " "))
-        .filter(F.size("tk") >= 3)
-        .select("doc_id", F.explode(F.expr(SHINGLE_HASHED_SPARK)).alias("s"))
-    )
+    sh_h = _candidate_shingles(spark, sf_dir, cand_ids)
     verified = jaccard_verify(
         cand, sh_h.select(F.col("doc_id").alias("id"), "s"), threshold=0.8
     ).select("id_a", "id_b")
@@ -812,13 +820,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("cid").alias("doc_id")))
         .distinct()
     )
-    sh = (
-        table(spark, sf_dir, "documents")
-        .join(F.broadcast(cand_ids), "doc_id", "semi")
-        .withColumn("tk", F.split("text", " "))
-        .filter(F.size("tk") >= 3)
-        .select("doc_id", F.explode(F.expr(SHINGLE_SPARK)).alias("s"))
-        .localCheckpoint(eager=False)
+    sh = _candidate_shingles(spark, sf_dir, cand_ids).localCheckpoint(
+        eager=False
     )
     sh_d = sh.select(F.col("doc_id").alias("did"), "s")
     sh_c = sh.select(F.col("doc_id").alias("cid2"), F.col("s").alias("cs"))

@@ -560,7 +560,10 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-identical pairs inside each bucket, mean-closest survivor wins)
 # ---------------------------------------------------------------------------
 
-SD_PLANES = 16  # fixed hyperplane budget; bucket = low p bits of the sign word
+SD_PLANES = 24  # hyperplane budget; bucket = low p bits of the sign word.
+# p saturates at SD_PLANES, so bucket sizes stay ~SEMDEDUP_CLUSTER up to
+# n = 64 * 2^24 ~ 1e9 vectors per job; beyond that raise this compile-time
+# constant (cost is one extra dot product per plane per vector).
 SEMDEDUP_CLUSTER = 64  # target bucket size; p = ceil(log2(n / this))
 SEMDEDUP_TAU = 0.40
 PAIR_SALT = 8  # fan-out factor for the in-bucket pair join
@@ -598,8 +601,9 @@ _SD_BITS_SPARK = (
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     planes AS (SELECT {_SD_PLANES_DUCK} AS pl),
     prm AS (
-      SELECT GREATEST(3, CAST(CEIL(LOG2(COUNT(*) / {SEMDEDUP_CLUSTER}.0)
-                                   - 1e-9) AS BIGINT)) AS p
+      SELECT LEAST({SD_PLANES},
+                   GREATEST(3, CAST(CEIL(LOG2(COUNT(*) / {SEMDEDUP_CLUSTER}.0)
+                                         - 1e-9) AS BIGINT))) AS p
       FROM e
     ),
     h AS (
@@ -661,8 +665,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     products per vector — O(n), zero model state, no shuffle — and the
     bucket-id mask keeps E[bucket size] ~ {SEMDEDUP_CLUSTER} by taking
     p = ceil(log2(n/{SEMDEDUP_CLUSTER})) low bits (p from one count
-    aggregate; the 16-plane sign word is computed identically at any p,
-    so the expression shape is scale-independent).  Bucket means are
+    aggregate, clamped to the {SD_PLANES}-plane budget — the sign word
+    is computed identically at any p, so the expression shape is
+    scale-independent; the clamp caps bucket count at 2^{SD_PLANES},
+    i.e. bounded buckets up to ~1e9 vectors per job, after which
+    SD_PLANES is the one constant to raise).  Bucket means are
     one decimal-exact aggregation (|buckets| x {DIM} keys); the
     quadratic cosine scan is confined to ~{SEMDEDUP_CLUSTER}-sized
     buckets, SALTED {PAIR_SALT}-way so few-bucket corpora can't funnel
@@ -672,11 +679,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _vec_double().alias("v")
     )
     pdf = emb.agg(
-        F.greatest(
-            F.lit(3),
-            F.ceil(
-                F.log2(F.count("*") / SEMDEDUP_CLUSTER) - F.lit(1e-9)
-            ).cast("bigint"),
+        F.least(
+            F.lit(SD_PLANES),
+            F.greatest(
+                F.lit(3),
+                F.ceil(
+                    F.log2(F.count("*") / SEMDEDUP_CLUSTER) - F.lit(1e-9)
+                ).cast("bigint"),
+            ),
         ).alias("p")
     )
     planes = spark.range(1).select(F.expr(_SD_PLANES_SPARK).alias("pl"))
@@ -775,7 +785,8 @@ PQ_C = 16  # codewords per subspace (seeds vec_id < PQ_C)
 # Per-subspace squared L2 between slices of two vectors, DuckDB side.
 _PQ_D2_DUCK = (
     f"list_sum(list_transform(generate_series(1, {PQ_SUB}), "
-    "i -> ({a}[m * 8 + i] - {b}[m * 8 + i]) * ({a}[m * 8 + i] - {b}[m * 8 + i])))"
+    f"i -> ({{a}}[m * {PQ_SUB} + i] - {{b}}[m * {PQ_SUB} + i]) "
+    f"* ({{a}}[m * {PQ_SUB} + i] - {{b}}[m * {PQ_SUB} + i])))"
 )
 
 

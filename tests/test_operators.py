@@ -663,3 +663,16 @@ class TestVocabAndRecall:
         assert dists == sorted(dists)
         assert all(d >= 0 for d in dists)
         assert all(r.vec_id != 0 for r in rows)
+
+
+class TestBloomNullKeys:
+    def test_null_build_keys_do_not_crash(self, spark):
+        from pyspark.sql import functions as F
+
+        from omim_spark.operators.bloom import bloom_prune
+
+        b = spark.createDataFrame([(1,), (None,), (3,)], "k: bigint")
+        p = spark.createDataFrame([(1,), (2,), (None,), (3,)], "k: bigint")
+        kept = {r.k for r in bloom_prune(p, b, "k", "k").collect()}
+        assert {1, 3} <= kept  # true members survive
+        assert None not in kept  # NULL never equi-joins -> pruned
