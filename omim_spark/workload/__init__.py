@@ -80,6 +80,7 @@ _VERIFY_FIRST = [
     "q_ab_experiment",  # deterministic arms, Welch t from exact sums
     "q_phrase_search",  # positional posting lists, adjacency join
     "q_k_anonymity",  # quasi-identifier classes below k
+    "q_dedup_containment",  # asymmetric excerpt/subset duplication
 ]
 
 

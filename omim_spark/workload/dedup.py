@@ -950,3 +950,85 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment (asymmetric) duplication: excerpts and subset copies
+# ---------------------------------------------------------------------------
+
+CONTAIN_TAU = 0.9
+
+
+@register(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE_DUCK},
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {MAX_DF}),
+    shc AS (SELECT sh.* FROM sh ANTI JOIN hot USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) AS containment,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n) >= {CONTAIN_TAU}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment duplication: pairs where the SMALLER
+    document's shingles are >= {CONTAIN_TAU} contained in the larger —
+    catches excerpt/quote/subset copies whose symmetric Jaccard is too
+    low for q_dedup_ngram_jaccard (a 100-word excerpt of a 10k-word
+    doc has Jaccard ~0.01 but containment ~1.0).  Emits both scores so
+    downstream policy can distinguish "same doc" from "contained in".
+
+    Scale: identical funnel to the df-capped Jaccard headline — the
+    inverted-index join over the capped shingle universe, one explicit
+    post-cap hash exchange shared by both self-join sides; only the
+    final scoring differs (min-size denominator instead of union)."""
+    sh = _shingles_hashed(spark, sf_dir)
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("s")
+    )
+    shc = sh.join(F.broadcast(hot), "s", "left_anti").repartition("s")
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = shc.alias("a"), shc.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    containment = F.col("n_common").cast("double") / F.least(
+        F.col("sa.n"), F.col("sb.n")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            containment.alias("containment"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= CONTAIN_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
