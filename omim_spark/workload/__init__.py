@@ -81,6 +81,7 @@ _VERIFY_FIRST = [
     "q_phrase_search",  # positional posting lists, adjacency join
     "q_k_anonymity",  # quasi-identifier classes below k
     "q_dedup_containment",  # asymmetric excerpt/subset duplication
+    "q_stopword_induction",  # df-ratio stopword discovery
 ]
 
 

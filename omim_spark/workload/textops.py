@@ -727,3 +727,60 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_occurrences"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stopword induction (document-frequency ratio)
+# ---------------------------------------------------------------------------
+
+STOPWORD_DF = 0.6  # tokens present in > 60% of documents
+
+
+@register(
+    "q_stopword_induction",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq
+      FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+        FROM documents
+      )
+      GROUP BY tok
+    )
+    SELECT tok, doc_freq,
+           ROUND(CAST(doc_freq AS DOUBLE) / n_docs, 6) AS df_ratio
+    FROM df CROSS JOIN n
+    WHERE CAST(doc_freq AS DOUBLE) / n_docs > {STOPWORD_DF}
+    ORDER BY doc_freq DESC, tok
+    """,
+)
+def q_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery: tokens whose document
+    frequency exceeds {STOPWORD_DF} of the corpus — the data-derived
+    list a text pipeline feeds into quality scoring and BM25 instead
+    of a hand-curated one (domain corpora have domain stopwords).
+
+    Scale: per-(doc, token) dedup via the distinct count is one
+    map-side-combinable aggregation on uniform token keys; the
+    df-ratio join is a broadcast of ONE number; output is bounded by
+    the (tiny) high-df vocabulary head."""
+    docs = table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    df = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+    )
+    return (
+        df.crossJoin(F.broadcast(n))
+        .filter(F.col("doc_freq").cast("double") / F.col("n_docs") > STOPWORD_DF)
+        .select(
+            "tok",
+            "doc_freq",
+            F.round(
+                F.col("doc_freq").cast("double") / F.col("n_docs"), 6
+            ).alias("df_ratio"),
+        )
+        .orderBy(F.desc("doc_freq"), "tok")
+    )
