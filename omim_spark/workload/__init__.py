@@ -84,6 +84,7 @@ _VERIFY_FIRST = [
     "q_k_anonymity",  # quasi-identifier classes below k
     "q_dedup_containment",  # asymmetric excerpt/subset duplication
     "q_stopword_induction",  # df-ratio stopword discovery
+    "q_top_terms_per_source",  # per-domain TF-IDF top-k characterization
 ]
 
 

@@ -784,3 +784,75 @@ def q_stopword_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("doc_freq"), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain characterization: top distinguishing terms per source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_top_terms_per_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY source, tok),
+    sdf AS (SELECT tok, COUNT(DISTINCT source) AS sdf FROM toks GROUP BY tok),
+    ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS n_sources
+           FROM documents),
+    w AS (
+      SELECT tf.source, tf.tok,
+             CAST(tf * LN(n_sources / sdf) AS DECIMAL(18,6)) AS wt
+      FROM tf JOIN sdf USING (tok) CROSS JOIN ns
+    ),
+    ranked AS (
+      SELECT source, tok, wt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY wt DESC, tok) AS rk
+      FROM w
+    )
+    SELECT source, rk, tok, CAST(wt AS DOUBLE) AS weight
+    FROM ranked WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+)
+def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain characterization: the 5 most distinguishing terms per
+    source by source-level TF-IDF (tf x ln(n_sources / source-df)) —
+    the corpus-exploration readout a data team runs before deciding
+    mixture weights.  Terms present in every source weight to zero
+    and fall out naturally.
+
+    Scale: two map-side-combinable aggregations (per-(source, term)
+    tf and per-term source-df), a broadcast of one count, and a
+    per-source top-k window over |sources|x|vocab| rows — never the
+    token stream.  The libm LN rounds through DECIMAL(18,6) per term
+    (the engine's standard bit-stability contract)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("source", "tok").agg(F.count("*").alias("tf"))
+    sdf = toks.groupBy("tok").agg(F.countDistinct("source").alias("sdf"))
+    ns = docs.agg(
+        F.countDistinct("source").cast("double").alias("n_sources")
+    )
+    w = (
+        tf.join(sdf, "tok")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source",
+            "tok",
+            (
+                F.col("tf") * F.log(F.col("n_sources") / F.col("sdf"))
+            )
+            .cast("decimal(18,6)")
+            .alias("wt"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("wt"), F.asc("tok"))
+    return (
+        w.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 5)
+        .select("source", "rk", "tok", F.col("wt").cast("double").alias("weight"))
+        .orderBy("source", "rk")
+    )
