@@ -85,6 +85,7 @@ _VERIFY_FIRST = [
     "q_dedup_containment",  # asymmetric excerpt/subset duplication
     "q_stopword_induction",  # df-ratio stopword discovery
     "q_top_terms_per_source",  # per-domain TF-IDF top-k characterization
+    "q_skew_report",  # Gini-over-key-counts join-skew diagnostic
 ]
 
 

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import register, table
+from .registry import events_table, register, table
 
 
 def dsum(col: Column) -> Column:
@@ -1203,4 +1203,86 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("group_size"))
         .filter(F.col("group_size") < K_ANON)
         .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostic (Gini over per-key counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT 'lineitem.l_orderkey' AS key_name, l_orderkey AS k FROM lineitem
+      UNION ALL
+      SELECT 'events.user_id', user_id FROM events
+    ),
+    cnt AS (SELECT key_name, k, COUNT(*) AS c FROM k GROUP BY key_name, k),
+    ranked AS (
+      SELECT key_name, c,
+             ROW_NUMBER() OVER (PARTITION BY key_name ORDER BY c, k) AS i,
+             COUNT(*) OVER (PARTITION BY key_name) AS n,
+             SUM(c) OVER (PARTITION BY key_name) AS tot
+      FROM cnt
+    )
+    SELECT key_name,
+           CAST(MAX(n) AS BIGINT) AS n_keys,
+           CAST(MAX(tot) AS BIGINT) AS n_rows,
+           MAX(c) AS max_key_rows,
+           ROUND(2.0 * SUM(CAST(i AS DOUBLE) * c) / (MAX(n) * MAX(tot))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked
+    GROUP BY key_name
+    ORDER BY key_name
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the Gini coefficient of per-key row
+    counts for the two workhorse shuffle keys (lineitem.l_orderkey,
+    events.user_id) — 0 is perfectly uniform, near 1 means a few hot
+    keys own the table and the join needs salting/AQE (see
+    operators/skew.py).  The readout an ops team checks BEFORE a
+    100 TB shuffle, not after it stragglers.
+
+    Scale: per-key counts are one map-side-combinable aggregation; the
+    Gini rank-sum runs over |keys| rows (the rollup, not the table)
+    with deterministic (count, key) ordering; the final reduction is
+    one row per audited key."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_orderkey").alias("key_name"),
+        F.col("l_orderkey").alias("k"),
+    )
+    ev = events_table(spark, sf_dir).select(
+        F.lit("events.user_id").alias("key_name"),
+        F.col("user_id").alias("k"),
+    )
+    cnt = li.unionByName(ev).groupBy("key_name", "k").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("key_name").orderBy("c", "k")
+    wp = Window.partitionBy("key_name")
+    ranked = cnt.select(
+        "key_name",
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("c").over(wp).alias("tot"),
+    )
+    return (
+        ranked.groupBy("key_name")
+        .agg(
+            F.max("n").cast("bigint").alias("n_keys"),
+            F.max("tot").cast("bigint").alias("n_rows"),
+            F.max("c").alias("max_key_rows"),
+            F.round(
+                F.lit(2.0)
+                * F.sum(F.col("i").cast("double") * F.col("c"))
+                / (F.max("n") * F.max("tot"))
+                - (F.max("n") + F.lit(1.0)) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("key_name")
     )
