@@ -1032,3 +1032,76 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= CONTAIN_TAU)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "q_dedup_cluster_histogram",
+    oracle=f"""
+    {_FUNNEL_CTES},
+    edges(u, v) AS (
+      SELECT doc_a, doc_b FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified
+    ),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id
+    ),
+    clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    csz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM clusters GROUP BY cluster_id)
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM csz
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """,
+)
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-structure readout: the histogram of near-dup
+    cluster sizes (how many clusters of 2, of 3, ...) with the doc
+    count each bin holds and how many docs dedup would remove — the
+    one-page answer to "how duplicated is this corpus and what do we
+    save by deduping it".
+
+    Scale: everything upstream is the sub-quadratic LSH funnel +
+    bounded-iteration connected components over the (tiny) verified
+    edge set; the histogram itself is two aggregations over |clusters|
+    rows."""
+    from omim_spark.operators.dedup import jaccard_verify, near_dup_clusters
+
+    cand = (
+        _lsh_candidates(spark, sf_dir)
+        .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_h = _candidate_shingles(spark, sf_dir, cand_ids)
+    verified = jaccard_verify(
+        cand, sh_h.select(F.col("doc_id").alias("id"), "s"), threshold=0.8
+    ).select("id_a", "id_b")
+    clusters = near_dup_clusters(verified)
+    csz = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        csz.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )
