@@ -88,6 +88,7 @@ _VERIFY_FIRST = [
     "q_top_terms_per_source",  # per-domain TF-IDF top-k characterization
     "q_skew_report",  # Gini-over-key-counts join-skew diagnostic
     "q_dedup_cluster_histogram",  # duplication-structure readout
+    "q_dup_rate_by_source",  # per-domain exact-duplication rate
 ]
 
 

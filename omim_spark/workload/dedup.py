@@ -1105,3 +1105,50 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "q_dup_rate_by_source",
+    oracle="""
+    WITH canon AS (
+      SELECT source, MD5(text) AS h, COUNT(*) AS copies
+      FROM documents
+      GROUP BY source, MD5(text)
+    )
+    SELECT source,
+           CAST(SUM(copies) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_unique,
+           CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_exact_dups,
+           ROUND(CAST(SUM(copies) - COUNT(*) AS DOUBLE) / SUM(copies), 6)
+             AS dup_rate
+    FROM canon
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain exact-duplication rate: docs vs unique content
+    hashes per source — which ingestion feeds re-crawl themselves.
+    The per-source twin of q_dedup_exact, feeding the mixture /
+    re-crawl policy.
+
+    Scale: two-level aggregation, both map-side combinable (first on
+    (source, md5) — uniform keys — then on source); no joins, no
+    windows, output is |sources| rows."""
+    docs = table(spark, sf_dir, "documents")
+    canon = docs.groupBy(
+        "source", F.md5(F.col("text").cast("binary")).alias("h")
+    ).agg(F.count("*").alias("copies"))
+    return (
+        canon.groupBy("source")
+        .agg(
+            F.sum("copies").cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_unique"),
+            (F.sum("copies") - F.count("*")).cast("bigint").alias("n_exact_dups"),
+            F.round(
+                (F.sum("copies") - F.count("*")).cast("double") / F.sum("copies"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
