@@ -89,6 +89,8 @@ _VERIFY_FIRST = [
     "q_skew_report",  # Gini-over-key-counts join-skew diagnostic
     "q_dedup_cluster_histogram",  # duplication-structure readout
     "q_dup_rate_by_source",  # per-domain exact-duplication rate
+    "q_latest_per_key",  # CDC compaction primitive (WindowGroupLimit)
+    "q_doc_length_histogram",  # power-of-2 token-length bins
 ]
 
 

@@ -878,3 +878,45 @@ def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Latest-record-per-key (the CDC compaction primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+    SELECT user_id, ts, event_type, value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key (event_id breaks timestamp ties) — the
+    CDC/changelog compaction primitive: collapsing an append-only
+    update stream to current state is exactly this query, run at
+    every materialization.
+
+    Scale: one shuffle on the key; Spark turns the rk=1 filter into a
+    per-partition WindowGroupLimit (top-1 retained during the sort,
+    never the full per-key history buffered) — the same plan
+    invariant pinned for q_rank_topk_per_group in
+    tools/explain_audit.py."""
+    ev = events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "ts", "event_type", "value")
+        .orderBy("user_id")
+    )

@@ -856,3 +856,44 @@ def q_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "rk", "tok", F.col("wt").cast("double").alias("weight"))
         .orderBy("source", "rk")
     )
+
+
+@register(
+    "q_doc_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(FLOOR(LOG2(LEN(STRING_SPLIT(text, ' ')))) AS BIGINT) AS bin
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 1
+    )
+    SELECT bin,
+           CAST(1 << bin AS BIGINT) AS bin_min_tokens,
+           COUNT(*) AS n_docs
+    FROM t GROUP BY bin ORDER BY bin
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two document-length histogram (token counts) — the
+    first chart on any corpus dashboard, and the input to chunk-size
+    and packing decisions (operators/sampling.py).
+
+    Scale: the bin is row-local integer math (floor(log2) of an exact
+    integer count — both engines agree because log2 of an int is far
+    from a bin edge except at exact powers, where it is exact); one
+    map-side-combinable aggregation over ~30 bins."""
+    docs = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        docs.filter(n_tok >= 1)
+        .select(F.floor(F.log2(n_tok.cast("double"))).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bin",
+            F.expr("shiftleft(cast(1 as bigint), cast(bin as int))").alias(
+                "bin_min_tokens"
+            ),
+            "n_docs",
+        )
+        .orderBy("bin")
+    )
