@@ -50,8 +50,9 @@ from . import maintenance  # noqa: E402,F401
 #   DuckDB oracle locally via tools/check_oracle.py five times during
 #   round 4 — sf0.01 mid-round (137/0), sf0.1 (139/0), sf0.01 after
 #   the LSH-funnel rewrites (147/0), sf0.01 after the review fixes
-#   (147/0), a 150-query sweep (149/0), and a FINAL sf0.01 sweep over
-#   all 152 queries (151 pass, 0 fail); the one rows-only row is
+#   (147/0), 150-query (149/0) and 152-query (151/0) sweeps, and a
+#   FINAL sweep over all 156 queries (155 pass, 0 fail, pytest
+#   340 green alongside); the one rows-only row is
 #   q_events_hourly_hll, rows-only by design.  Every query added or
 #   modified in round 4 was additionally spot-checked at sf0.001 AND
 #   sf0.1.
