@@ -25,8 +25,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-N_BITS_DEFAULT = 4096  # 64 lanes x 64 bits = 512 bytes broadcast
+N_BITS_DEFAULT = 4096  # floor: 64 lanes x 64 bits = 512 bytes broadcast
+N_BITS_MAX = 1 << 30  # 128 MiB of lanes — past this, broadcast cost wins
 N_HASHES = 3
+BITS_PER_KEY = 10  # k=3, m/n=10 -> FP ~ (1 - e^{-0.3})^3 ~ 1.7%
+
+
+def bloom_nbits(n_keys: int) -> int:
+    """Filter size for a build side of ``n_keys``: ~``BITS_PER_KEY``
+    bits per key rounded UP to a power of two (so the mod-slicing
+    stays cheap and lane counts are round), floored at
+    ``N_BITS_DEFAULT`` and capped at ``N_BITS_MAX``.  A fixed 4096-bit
+    filter saturates once the build side passes a few hundred keys
+    (n=3000 -> FP~0.7, pruning nothing); sizing from the count keeps
+    the FP rate ~2% at any cardinality the broadcast can afford."""
+    n_bits = N_BITS_DEFAULT
+    while n_bits < n_keys * BITS_PER_KEY and n_bits < N_BITS_MAX:
+        n_bits <<= 1
+    return n_bits
 
 
 def _positions_sql(key_sql: str, n_bits: int) -> str:
@@ -102,12 +118,28 @@ def bloom_prune(
     build: DataFrame,
     fact_key: str,
     build_key: str,
-    n_bits: int = N_BITS_DEFAULT,
+    n_bits: int | None = None,
 ) -> DataFrame:
     """Prune ``fact`` to rows whose ``fact_key`` *might* be in
     ``build``'s ``build_key`` set: build the Bloom filter, broadcast
     its single row, filter map-side.  Survivors still need the exact
-    join (false positives possible); no true match is ever dropped."""
+    join (false positives possible); no true match is ever dropped.
+
+    ``n_bits=None`` (the default) sizes the filter from the build
+    side's distinct-key count (:func:`bloom_nbits`, ~10 bits/key) —
+    the count is one extra map-side-combinable pass over the build
+    keys, cheap by construction because the whole point of the
+    pattern is a small-relative-to-fact build side.  Callers that
+    already know the cardinality (a maintained dimension, a catalog
+    statistic) pass ``n_bits`` explicitly and skip the count."""
+    if n_bits is None:
+        n_keys = (
+            build.select(build_key)
+            .filter(F.col(build_key).isNotNull())
+            .distinct()
+            .count()
+        )
+        n_bits = bloom_nbits(n_keys)
     bloom = bloom_build(build.select(build_key), build_key, n_bits)
     return (
         fact.crossJoin(F.broadcast(bloom))

@@ -770,14 +770,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a corpus doc AND verified shingle-Jaccard >= 0.8).  Emits one
     (doc_id, status) row per delta doc: exact_dup | near_dup | kept.
 
-    Scale: the delta is small relative to the corpus, so every
-    corpus-side step stays map-side — corpus content hashes are
-    semi-joined against the BROADCAST delta hash set, and corpus band
-    signatures against the BROADCAST delta bands; only the (tiny)
-    hit sets and candidate pairs ever shuffle.  The corpus signature
-    table would be a maintained incremental artifact in production
-    (computed once, appended per batch), which this plan's corpus
-    branch mirrors exactly."""
+    Scale: only genuinely bounded sets carry an explicit ``broadcast``
+    hint (exact_ids, hit_h, near_ids — each capped by the delta's
+    duplicate count).  The delta hash set and delta band table scale
+    WITH the delta (here 10% of the corpus), so their joins are left
+    to AQE: when the delta is small AQE picks broadcast at runtime
+    from the measured size, and when a 100 TB batch arrives it falls
+    back to a shuffle join instead of OOMing the driver the way a
+    hard-coded hint (which bypasses autoBroadcastJoinThreshold) would.
+    The corpus signature table would be a maintained incremental
+    artifact in production (computed once, appended per batch), which
+    this plan's corpus branch mirrors exactly."""
     docs = table(spark, sf_dir, "documents")
     delta = docs.filter(F.col("doc_id") % 10 == 0)
     is_corpus = F.col("doc_id") % 10 != 0
@@ -788,7 +791,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit_h = (
         docs.filter(is_corpus)
         .select(F.md5(F.col("text").cast("binary")).alias("h"))
-        .join(F.broadcast(dh.select("h").distinct()), "h", "semi")
+        .join(dh.select("h").distinct(), "h", "semi")
         .distinct()
     )
     exact_ids = dh.join(F.broadcast(hit_h), "h", "semi").select("doc_id")
@@ -807,7 +810,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         bands.filter(is_corpus)
-        .join(F.broadcast(bands_delta), ["band", "sig"])
+        .join(bands_delta, ["band", "sig"])
         .select("did", F.col("doc_id").alias("cid"))
         .distinct()
         .localCheckpoint(eager=False)

@@ -834,8 +834,10 @@ def q_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pts GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+             AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+                  * sx) / n, 6)
              AS intercept
     FROM s ORDER BY event_type
     """,
@@ -846,7 +848,9 @@ def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics (n, Σx, Σx², Σy, Σxy), each an exact aggregate — the
     float sums go through DECIMAL(18,6) so partition order cannot
     change them, then the normal-equation arithmetic runs in double
-    with an identical operation order on both engines.
+    with an identical operation order on both engines.  A group with
+    a single distinct x (zero x-variance) gets NULL slope/intercept on
+    BOTH engines via an explicit nullif on the determinant.
 
     Scale: THE pattern for distributed ML-ish fitting — sufficient
     statistics are map-side-combinable (one shuffle of 5 numbers per
@@ -867,8 +871,13 @@ def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # A group whose x has a single distinct value has zero x-variance
+    # (n*sxx - sx^2 == 0 — EXACTLY zero: the sums are integer-exact in
+    # double at any realistic row count); the fit is undefined there,
+    # and nullif makes both engines agree on NULL instead of relying
+    # on each one's divide-by-zero convention.
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
     )
     return s.select(
         "event_type",

@@ -969,7 +969,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective fact-dim join with explicit Bloom-filter scan pruning
     (`operators/bloom.py`): aggregate the BUILDING customers' keys
-    into a 512-byte Bloom filter (map-side-combinable bit_or), ship it
+    into a Bloom filter sized ~10 bits/key from the build-side count
+    (map-side-combinable bit_or; a KiB-scale broadcast at dim
+    cardinalities that would never fit a hash relation), ship it
     broadcast, drop non-matching orders INSIDE the scan stage, then
     run the exact semi join over the survivors only.
 
@@ -1107,10 +1109,12 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            ROUND(sya / na, 6) AS mean_a,
            ROUND(syb / nb, 6) AS mean_b,
-           ROUND((sya / na - syb / nb)
-                 / SQRT((syya / na - (sya / na) * (sya / na)) / na
-                        + (syyb / nb - (syb / nb) * (syb / nb)) / nb), 6)
-             AS t_stat
+           CASE WHEN ((syya / na - (sya / na) * (sya / na)) / na
+                      + (syyb / nb - (syb / nb) * (syb / nb)) / nb) > 0
+                THEN ROUND((sya / na - syb / nb)
+                     / SQRT((syya / na - (sya / na) * (sya / na)) / na
+                            + (syyb / nb - (syb / nb) * (syb / nb)) / nb), 6)
+           END AS t_stat
     FROM w
     """,
 )
@@ -1120,7 +1124,10 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     arm, n / mean / Welch's t-statistic for the order-value metric,
     all from decimal-exact sufficient statistics (Σy, Σy²) with the
     final arithmetic in double, identical operation order on both
-    engines.
+    engines.  Degenerate corpora (an empty arm, or two zero-variance
+    arms) yield a NULL t_stat on BOTH engines — the t-statistic is
+    undefined there, and an explicit ``> 0`` guard on the pooled
+    variance keeps Spark and DuckDB from disagreeing about 1/0.
 
     Scale: the experiment readout over 100 TB is TWO numbers per arm
     shuffled (map-side-combinable sums); assignment is a stateless
@@ -1161,7 +1168,9 @@ def q_ab_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("bigint").alias("n_b"),
         F.round(ma, 6).alias("mean_a"),
         F.round(mb, 6).alias("mean_b"),
-        F.round((ma - mb) / F.sqrt(va + vb), 6).alias("t_stat"),
+        F.when(
+            va + vb > 0, F.round((ma - mb) / F.sqrt(va + vb), 6)
+        ).alias("t_stat"),
     )
 
 

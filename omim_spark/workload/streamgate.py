@@ -548,9 +548,15 @@ def q_stream_neardup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     table replayed as a file-source stream, banded MinHash signatures
     computed row-locally per arriving doc, and a stateful
     (applyInPandasWithState) registry per (band, sig) maintaining
-    (min-doc owner, claim count).  Because claims min/sum-merge, the
-    final registry equals the batch GROUP BY whatever the micro-batch
-    partitioning — the oracle replays it as plain SQL over the same
+    (min-doc owner, claim count).  The sink is an update-mode append
+    log — a key touched in several micro-batches lands one row PER
+    batch, each carrying the state as of that batch — so the read
+    collapses it to the latest state per key: owner_doc only ever
+    decreases (min-merge) and n_docs only ever grows, so
+    MIN(owner_doc)/MAX(n_docs) per (band, sig) IS the final state
+    under ANY micro-batch partitioning of the stream (the multi-batch
+    pytest gate in test_streaming.py replays exactly that split).
+    The oracle replays the whole thing as plain SQL over the same
     minhash CTEs as the batch LSH funnel.
 
     Scale: the state store holds one row per DISTINCT band signature
@@ -582,6 +588,11 @@ def q_stream_neardup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             spark.read.parquet(sink)
+            .groupBy("band", "sig")
+            .agg(
+                F.min("owner_doc").alias("owner_doc"),
+                F.max("n_docs").alias("n_docs"),
+            )
             .orderBy("band", "sig")
             .localCheckpoint(eager=True)
         )
