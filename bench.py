@@ -52,22 +52,36 @@ def main() -> None:
         if qd.headline:
             qd.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # Best-of-2 per query: single executions at this scale vary ±20%
-    # run-to-run (GC pauses, JIT/codegen cache state), which swamps
-    # real plan changes; the minimum of two full end-to-end executions
-    # is the standard steady-state estimator and stays honest (every
-    # run is the complete query, nothing cached between runs beyond
-    # the JVM's own state).
+    # n timed executions per query (default 5, override with
+    # $SPARK_GRAFT_BENCH_RUNS).  Single executions at this scale vary
+    # ±20% run-to-run (GC pauses, JIT/codegen cache state, AQE
+    # coalesce decisions near thresholds), which swamps real plan
+    # changes; round 4 shipped a +17% total that turned out to be
+    # unreproducible noise on byte-identical code.  The headline
+    # number per query is the MINIMUM of n full end-to-end executions
+    # — the standard steady-state estimator, honest because every run
+    # is the complete query with nothing cached between runs beyond
+    # the JVM's own state — and the emitted JSON carries per-query
+    # mean/stddev so a regression can be told from noise.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, qd in sorted(QUERIES.items()):
         if not qd.headline:
             continue
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        mean = sum(runs) / len(runs)
+        var = sum((r - mean) ** 2 for r in runs) / max(1, len(runs) - 1)
+        spread[name] = {
+            "mean": round(mean, 3),
+            "stddev": round(var**0.5, 3),
+            "n": len(runs),
+        }
 
     print(
         json.dumps(
@@ -76,6 +90,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
