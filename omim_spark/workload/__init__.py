@@ -64,6 +64,7 @@ _VERIFY_FIRST = [
     "q_linear_fit",  # nullif determinant guard (single-distinct-x groups)
     "q_bloom_prune_join",  # bloom filter now auto-sized from build count
     # New in round 5 (appended below as they are added).
+    "q_ann_ivf_stored",  # IVF probe against the stored cid-partitioned layout
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

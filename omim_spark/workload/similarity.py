@@ -17,10 +17,16 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import shutil
+import uuid
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import register, table
+
+_SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
 
 N_PLANES = 8
 DIM = 64
@@ -437,9 +443,69 @@ IVF_NPROBE = 2
 _D2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2])))"
 
 
-@register(
-    "q_ann_ivf_probe",
-    oracle=f"""
+def _ivf_train(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One deterministic Lloyd step of the IVF coarse quantizer over
+    ``(vec_id, v)``: seed centroids are the first ``IVF_K`` vectors,
+    every vector is assigned to its nearest seed (map-side argmin over
+    the broadcast seed array — no shuffle), and updated centroids are
+    per-(cell, dim) means through DECIMAL(18,6) sums so the trained
+    quantizer is bit-identical across engines and partitionings.
+
+    Returns ``(assigned, cents)`` — ``assigned``: (vec_id, v, cid);
+    ``cents``: (cid, cv).  Shared by the in-query probe
+    (q_ann_ivf_probe) and the stored-layout probe (q_ann_ivf_stored)."""
+    seed_arr = emb.filter(F.col("vec_id") < IVF_K).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        ).alias("cents")
+    )
+    best = (
+        "array_min(transform(cents, c -> struct("
+        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0.0D, "
+        "(acc, x) -> acc + x) AS d2, c.cid AS cid)))"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seed_arr))
+        .select("vec_id", "v", F.expr(best + ".cid").alias("cid"))
+    )
+    cents = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cid", F.expr("transform(pm, p -> p.m)").alias("cv"))
+    )
+    return assigned, cents
+
+
+def _ivf_probe_cells(cents: DataFrame, q: DataFrame) -> DataFrame:
+    """The ``IVF_NPROBE`` cells whose trained centroids are closest to
+    the (broadcast single-row) query — ``(cid, d2)`` ordered, tiny by
+    construction (≤ IVF_K rows in, IVF_NPROBE out)."""
+    return (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "cid",
+            F.expr(
+                "aggregate(zip_with(cv, qv, (x, y) -> (x - y) * (x - y)), "
+                "0.0D, (acc, x) -> acc + x)"
+            ).alias("d2"),
+        )
+        .orderBy("d2", "cid")
+        .limit(IVF_NPROBE)
+    )
+
+
+# Shared by q_ann_ivf_probe (in-query index) and q_ann_ivf_stored
+# (index written partitioned by cell, probe reads the stored layout):
+# both must equal the full SQL replay of quantize -> probe -> rerank.
+_IVF_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     seeds AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_K}),
     scored AS (
@@ -474,8 +540,10 @@ _D2 = "list_sum(list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - 
     FROM cand CROSS JOIN q
     ORDER BY cosine DESC, vec_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@register("q_ann_ivf_probe", oracle=_IVF_ORACLE)
 def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True IVF approximate nearest neighbor, end to end: train a
     coarse quantizer (one deterministic Lloyd step from seeded
@@ -494,52 +562,17 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is the map-side argmin; the per-(cell,dim) mean
     shuffles K×d keys; the probe filter is a broadcast semi join, so
     the exact rerank scans only the probed cells.  At 100 TB the
-    corpus is WRITTEN partitioned by cid (see q_ann_lsh_buckets) and
-    the rerank reads ~nprobe/K of the files."""
+    corpus is WRITTEN partitioned by cid and the rerank reads
+    ~nprobe/K of the FILES — that stored path is q_ann_ivf_stored
+    below (same oracle), and tests/test_partition_pruning.py::
+    TestIvfStoredLayout asserts the pruning (PartitionFilters +
+    input_file_name ⊆ probed cells)."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double().alias("v")
     )
-    seed_arr = emb.filter(F.col("vec_id") < IVF_K).agg(
-        F.collect_list(
-            F.struct(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-        ).alias("cents")
-    )
-    best = (
-        "array_min(transform(cents, c -> struct("
-        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)), 0.0D, "
-        "(acc, x) -> acc + x) AS d2, c.cid AS cid)))"
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(seed_arr))
-        .select("vec_id", "v", F.expr(best + ".cid").alias("cid"))
-    )
-    cents = (
-        assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-        .groupBy("cid", "pos")
-        .agg(
-            (
-                F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
-                / F.count("*")
-            ).alias("m")
-        )
-        .groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("cid", F.expr("transform(pm, p -> p.m)").alias("cv"))
-    )
+    assigned, cents = _ivf_train(emb)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    probe = (
-        cents.crossJoin(F.broadcast(q))
-        .select(
-            "cid",
-            F.expr(
-                "aggregate(zip_with(cv, qv, (x, y) -> (x - y) * (x - y)), "
-                "0.0D, (acc, x) -> acc + x)"
-            ).alias("d2"),
-        )
-        .orderBy("d2", "cid")
-        .limit(IVF_NPROBE)
-        .select("cid")
-    )
+    probe = _ivf_probe_cells(cents, q).select("cid")
     cand = assigned.filter(F.col("vec_id") != 0).join(
         F.broadcast(probe), "cid", "left_semi"
     )
@@ -553,6 +586,59 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
+
+
+@register("q_ann_ivf_stored", oracle=_IVF_ORACLE)
+def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF against the STORED index layout — the 100 TB serving path
+    q_ann_ivf_probe's docstring narrates, executed for real: the
+    assigned corpus is WRITTEN hive-partitioned by cell id
+    (``.partitionBy("cid")``), the probe selects the {IVF_NPROBE}
+    nearest cells from the O(K·d) centroid table, and the exact
+    rerank reads the stored layout with a LITERAL cell predicate —
+    so Spark prunes the non-probed cells' directories at PLANNING
+    time (PartitionFilters) and the rerank scan touches ~nprobe/K of
+    the files, never the corpus.  Same oracle as q_ann_ivf_probe:
+    layout must not change the answer.
+
+    The probe-cell collect is an O(IVF_NPROBE) INDEX-METADATA lookup
+    (bounded by K regardless of corpus size — the same driver-side
+    step FAISS does when it picks cells), not a data-path collect;
+    it is what turns the cell filter into a planning-time literal
+    instead of a runtime join.
+
+    tests/test_partition_pruning.py::TestIvfStoredLayout asserts the
+    pruning on this exact layout (PartitionFilters present +
+    input_file_name ⊆ probed cells' directories)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    assigned, cents = _ivf_train(emb)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    base = _SCRATCH / f"ivf_{uuid.uuid4().hex[:12]}"
+    idx = str(base / "index")
+    try:
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(idx)
+        probe_ids = [r.cid for r in _ivf_probe_cells(cents, q).collect()]
+        stored = (
+            spark.read.parquet(idx)
+            .filter(F.col("cid").isin(probe_ids))
+            .filter(F.col("vec_id") != 0)
+        )
+        return (
+            stored.crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.col("cid").cast("bigint").alias("cid"),
+                F.round(_cosine("v", "qv"), 6).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(10)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

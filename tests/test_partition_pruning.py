@@ -120,3 +120,75 @@ class TestCompaction:
             assert tidied.exceptAll(ev).count() == 0
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+class TestIvfStoredLayout:
+    """The IVF serving claim, measured on the real layout: the corpus
+    written ``partitionBy("cid")``, the probe's literal cell predicate
+    pruning non-probed cells at PLANNING time, and the rerank touching
+    only the probed cells' files (q_ann_ivf_stored's 100 TB story —
+    closes the r4 claim-vs-measurement gap)."""
+
+    def test_probe_scans_only_probed_cells(self, spark):
+        import re
+
+        from omim_spark.workload.registry import table
+        from omim_spark.workload.similarity import (
+            IVF_K,
+            IVF_NPROBE,
+            _ivf_probe_cells,
+            _ivf_train,
+            _vec_double,
+        )
+
+        base = _SCRATCH / f"ivf_{uuid.uuid4().hex[:12]}"
+        idx = str(base / "index")
+        try:
+            emb = table(spark, SF_DIR, "embeddings").select(
+                "vec_id", _vec_double().alias("v")
+            )
+            assigned, cents = _ivf_train(emb)
+            assigned.write.mode("overwrite").partitionBy("cid").parquet(idx)
+            q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+            probe_ids = [r.cid for r in _ivf_probe_cells(cents, q).collect()]
+            assert len(probe_ids) == IVF_NPROBE < IVF_K
+
+            stored = spark.read.parquet(idx).filter(
+                F.col("cid").isin(probe_ids)
+            )
+            # 1) the cell predicate is a PLANNING-time partition filter
+            plan = _formatted_plan(stored)
+            pf = " ".join(re.findall(r"PartitionFilters: \[([^\]]*)\]", plan))
+            assert "cid" in pf
+            # 2) the scan touches ONLY the probed cells' directories...
+            files = [
+                r[0]
+                for r in stored.select(F.input_file_name()).distinct().collect()
+            ]
+            assert files and all(
+                any(f"cid={cid}/" in f for cid in probe_ids) for f in files
+            )
+            # 3) ...which is a strict subset of the stored layout
+            all_files = {
+                r[0]
+                for r in spark.read.parquet(idx)
+                .select(F.input_file_name())
+                .distinct()
+                .collect()
+            }
+            assert len(set(files)) < len(all_files)
+            # 4) and the layout did not change the answer: stored-path
+            # top-10 == in-query top-10
+            from omim_spark.workload.similarity import (
+                q_ann_ivf_probe,
+                q_ann_ivf_stored,
+            )
+
+            got = [
+                tuple(r)
+                for r in q_ann_ivf_stored(spark, SF_DIR).collect()
+            ]
+            want = [tuple(r) for r in q_ann_ivf_probe(spark, SF_DIR).collect()]
+            assert got == want
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
