@@ -89,15 +89,28 @@ def _ttl_header() -> str:
     return "\n".join(header) + "\n\n"
 
 
+# Above this many triples, write_ttl routes through the sharded
+# writer: the row-at-a-time toLocalIterator relay is fine for OMIM's
+# low-millions of triples but becomes the serial bottleneck past that,
+# while executor-written shards + a bulk byte concat stay I/O-bound.
+TTL_SHARDED_THRESHOLD = 2_000_000
+
+
 def write_ttl(triples: DataFrame, path: str) -> None:
-    """Serialize to a single Turtle file.  The sort is distributed;
-    rows stream to the file via ``toLocalIterator`` one partition at a
-    time, so the driver never materializes the whole body — an
-    arbitrarily large triple set writes in bounded memory (the
-    single-file format itself is the only serial stage, as with any
-    curated-ontology artifact).  Small-data default; at scale use
-    :func:`write_ttl_sharded`, which removes even the row-at-a-time
-    driver relay."""
+    """Serialize to a single Turtle file, dispatching on size: small
+    triple sets stream through the driver via ``toLocalIterator`` (one
+    partition at a time — bounded driver memory), and anything past
+    ``TTL_SHARDED_THRESHOLD`` rows routes through
+    :func:`write_ttl_sharded`, whose executor-written range shards +
+    bulk byte concat remove the row-at-a-time driver relay entirely.
+    Both paths emit byte-identical files (test_writers.py pins it), so
+    a naive caller gets the scale path automatically.
+
+    The dispatch count is one extra distributed pass over the triple
+    set — noise next to the ordered serialization it sizes."""
+    if triples.count() > TTL_SHARDED_THRESHOLD:
+        write_ttl_sharded(triples, path)
+        return
     body = (
         ttl_lines(triples).orderBy("sort_key", "line").select("line")
     )

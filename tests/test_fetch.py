@@ -171,6 +171,43 @@ class TestSinceDateSearch:
         assert state.incomplete
         assert state.since_date == "2026-01-01"
 
+    def test_search_halt_state_roundtrips_to_full_recovery(self):
+        """The search-phase-halt RECOVERY loop, end to end: a 429 mid
+        pagination leaves (incomplete, since_date unchanged); a caller
+        persists that state as JSON, reloads it next run, re-runs the
+        SAME window from state.since_date against a now-healthy API,
+        and the window is fully covered — since_date advances and the
+        incompleteness marker clears.  fetch_ids halts had this
+        round-trip coverage; the search-phase halt did not."""
+        healthy = [False]
+
+        def transport(req):
+            if "search" in req.params:
+                lo = int(req.params["start"])
+                if lo > 0 and not healthy[0]:
+                    return FetchResponse(status=429)  # halt mid-pagination
+                ids = [str(i) for i in range(lo, min(lo + BATCH_SIZE, 30))]
+                return FetchResponse(status=200, body=search_page(ids))
+            ids = req.params["mimNumber"].split(",")
+            return FetchResponse(status=200, body=entry_page(ids))
+
+        f = OmimFetcher(api_key="k", transport=transport)
+        entries, state = f.fetch_since("2026/01/01", "2026/08/13")
+        assert len(entries) == BATCH_SIZE  # page 2's ids never searched
+        assert state.incomplete and state.since_date == "2026-01-01"
+
+        # persist → reload → resume, exactly what a scheduled caller does
+        reloaded = FetchState.from_json(state.to_json())
+        assert reloaded.incomplete
+        assert reloaded.since_date == "2026-01-01"
+        healthy[0] = True
+        entries2, state2 = f.fetch_since(
+            reloaded.since_date.replace("-", "/"), "2026/08/13"
+        )
+        assert len(entries2) == 30  # full window re-covered, nothing skipped
+        assert not state2.incomplete
+        assert state2.since_date == "2026-08-13"
+
     def test_entry_rate_limit_does_not_advance_since_date(self):
         def transport(req):
             if "search" in req.params:

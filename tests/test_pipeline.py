@@ -195,6 +195,25 @@ class TestDeterministicTtl:
             write_ttl_sharded(r.triples, str(sharded), shards=shards)
             assert sharded.read_bytes() == single.read_bytes(), shards
 
+    def test_size_dispatch_routes_large_sets_sharded(
+        self, spark, omim_data_dir, tmp_path, monkeypatch
+    ):
+        # Force the dispatch threshold to 0 so THIS fixture takes the
+        # sharded route through the write_ttl front door — the file a
+        # naive caller gets at scale must be byte-identical to the
+        # small-data path's.
+        import omim_spark.io.writers as W
+
+        r = build_graph(spark, omim_data_dir, version_date="2026-01-01")
+        small, big = tmp_path / "small.ttl", tmp_path / "big.ttl"
+        write_ttl(r.triples, str(small))
+        monkeypatch.setattr(W, "TTL_SHARDED_THRESHOLD", 0)
+        W.write_ttl(r.triples, str(big))
+        assert big.read_bytes() == small.read_bytes()
+        # the sharded route really ran (its scratch dir was created and
+        # cleaned next to the output)
+        assert not (tmp_path / "big.ttl.shards").exists()
+
     def test_sharded_writer_manifest_mode(self, spark, omim_data_dir, tmp_path):
         from omim_spark.io.writers import write_ttl_sharded
 

@@ -14,7 +14,7 @@ log(t10/t1)/log(10).  Exponent ≈ 1 is linear; exponents well below 1
 are scan-underutilization at 1× (fixed overheads dominate); anything
 meaningfully above 1 is a scale bug to fix.
 
-Usage: python tools/scale_probe.py [replicas] [--keep]
+Usage: python tools/scale_probe.py [replicas] [--keep] [--only=q1,q2]
 """
 
 from __future__ import annotations
@@ -132,6 +132,13 @@ def synthesize(spark, out_dir: str, replicas: int) -> None:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     keep = "--keep" in sys.argv
+    only = [
+        q
+        for a in sys.argv[1:]
+        if a.startswith("--only=")
+        for q in a.split("=", 1)[1].split(",")
+        if q
+    ]
     replicas = int(args[0]) if args else 10
     from omim_spark.session import get_spark
     from omim_spark.workload import QUERIES
@@ -155,7 +162,9 @@ def main() -> int:
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    probes = [n for n, q in QUERIES.items() if q.headline] + EXTRA_PROBES
+    probes = only or (
+        [n for n, q in QUERIES.items() if q.headline] + EXTRA_PROBES
+    )
     print(
         f"{'query':<28}{'1x':>8}{'%dx' % replicas:>9}{'ratio':>8}{'exp':>7}",
         flush=True,
