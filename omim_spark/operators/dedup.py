@@ -51,7 +51,7 @@ def shingles(
     )
     if max_df is not None:
         hot = sh.groupBy("s").count().filter(F.col("count") > max_df).select("s")
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+        sh = sh.join(hot, "s", "left_anti")
     return sh
 
 
@@ -129,9 +129,19 @@ def jaccard_verify(
     candidates: DataFrame, sh: DataFrame, threshold: float = 0.8
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs only → (id_a, id_b, jaccard)
-    above threshold."""
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
+    above threshold.
+
+    Every join side here (candidate shingles, per-doc sizes) is
+    proportional to the candidate population, which on a dup-heavy
+    corpus is corpus-proportional — but Catalyst's static size
+    estimate for it is tiny (the semi-join selectivity guess upstream
+    collapses it; measured 4.9 MiB for a table that OOM'd an 8 GB
+    driver at a 100x probe), so without a hint the planner statically
+    broadcasts it.  The explicit SMJ hints make the physical plan
+    estimate-independent: sort-merge spills instead of OOMing, and
+    AQE still handles skew within it."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n")).hint("merge")
+    x, y = sh.hint("merge").alias("x"), sh.hint("merge").alias("y")
     inter = (
         candidates.join(x, F.col("x.id") == F.col("id_a"))
         .join(y, (F.col("y.id") == F.col("id_b")) & (F.col("y.s") == F.col("x.s")))

@@ -63,6 +63,30 @@ _VERIFY_FIRST = [
     "q_ab_experiment",  # NULL t_stat guard on degenerate arms
     "q_linear_fit",  # nullif determinant guard (single-distinct-x groups)
     "q_bloom_prune_join",  # bloom filter now auto-sized from build count
+    # _candidate_shingles lost its forced broadcast hint (a 100x probe
+    # OOM'd the BroadcastExchange on a dup-heavy corpus; AQE now
+    # decides) — every query sharing that verification-tier helper
+    # re-enters the window (q_dedup_incremental is already above).
+    "q_dedup_minhash_lsh",
+    "q_dedup_cluster_survivors",
+    "q_dedup_cluster_histogram",
+    # Forced-broadcast audit (round 5): hints removed from every
+    # data-proportional side — TPC-H customer/supplier, the Zipf-tail
+    # hot-shingle lists, the df-capped TF-IDF vocabulary — leaving
+    # the static planner/AQE to decide from real sizes.  Plans are
+    # identical at bench scale (estimates there pick broadcast
+    # anyway); these re-enter the window because their code changed.
+    "q03_top_orders",
+    "q05_region_revenue",
+    "q10_returned_items",
+    "q_rank_topk_per_group",
+    "q_stats_aggregates",
+    "q_tfidf_cosine_pairs",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_lsh_capped",
+    "q_dedup_containment",
+    "q_crossmodal_neardup",
+    "q_countmin_heavy_hitters",
     # New in round 5 (appended below as they are added).
     "q_ann_ivf_stored",  # IVF probe against the stored cid-partitioned layout
 ]

@@ -321,7 +321,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dft = tf.groupBy("t").agg(F.count("*").alias("df"))
     nd = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     w = (
-        tf.join(F.broadcast(dft.filter(F.col("df") <= TFIDF_MAX_DF)), "t")
+        tf.join(dft.filter(F.col("df") <= TFIDF_MAX_DF), "t")
         .crossJoin(F.broadcast(nd))
         .select("doc_id", "t", F.expr(_W_EXPR).alias("w"))
         .repartition("t")
@@ -488,7 +488,10 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid of counters, built map-side-combinably from per-term counts
     (themselves a map-side combine), mergeable across 100 TB of
     partitions with zero growth; probes join a broadcast ≤1024-cell
-    table.  The exact counts exist as the verification anchor."""
+    table.  The exact counts exist as the verification anchor; their
+    (vocabulary-proportional) table carries NO broadcast hint — the
+    planner broadcasts it while it fits and falls back to a shuffle
+    join on a 100 TB vocabulary."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
     tcnt = toks.groupBy("t").agg(F.count("*").alias("cnt"))
@@ -516,7 +519,7 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.coalesce("cell", F.lit(0))).alias("cms_est"))
     )
     return (
-        est.join(F.broadcast(tcnt), est["term"] == tcnt["t"], "left")
+        est.join(tcnt, est["term"] == tcnt["t"], "left")
         .select(
             "term",
             F.coalesce("cnt", F.lit(0)).alias("exact_cnt"),

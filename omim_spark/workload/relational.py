@@ -143,11 +143,16 @@ def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style shipping-priority query (J1 left-side chain).
 
-    Scale: customer (filtered to one segment) broadcasts; the
-    orders⋈lineitem equi join shuffles on orderkey — the natural key
-    both sides are produced on, so a co-partitioned/bucketed layout
-    makes it shuffle-free in a real deployment.  Top-k via
-    TakeOrderedAndProject (no global sort).
+    Scale: customer (filtered to one segment) joins without a forced
+    hint — its parquet-scan size estimate is trustworthy, so Catalyst
+    broadcasts it while it fits autoBroadcastJoinThreshold and
+    degrades to a shuffle join at the SF where a segment of customer
+    is itself fact-sized (a hard-coded broadcast hint would bypass
+    the threshold and OOM there).  The orders⋈lineitem equi join
+    shuffles on orderkey — the natural key both sides are produced
+    on, so a co-partitioned/bucketed layout makes it shuffle-free in
+    a real deployment.  Top-k via TakeOrderedAndProject (no global
+    sort).
     """
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = table(spark, sf_dir, "orders").filter(
@@ -158,7 +163,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -193,8 +198,11 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style local-supplier revenue (J2 broadcast dim chain).
 
-    Scale: region/nation/supplier/customer are all dims → broadcast
-    hash joins (no shuffle of the fact table for them); the only big
+    Scale: region/nation are fixed-cardinality dims (5/25 rows) →
+    explicit broadcast hints; supplier/customer grow with SF, so they
+    carry NO hint — Catalyst/AQE broadcast them from their (reliable)
+    parquet-scan estimates while they fit and fall back to shuffle
+    joins at the SF where they don't.  The only unavoidable big
     shuffle is lineitem⋈orders on orderkey.
     """
     cust = table(spark, sf_dir, "customer")
@@ -208,9 +216,9 @@ def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -252,7 +260,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy(
             "c_custkey",
@@ -643,7 +651,7 @@ def q_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_mktsegment",
             "o_orderkey",
@@ -812,7 +820,7 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
@@ -998,7 +1006,7 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = bloom_prune(orders, cust, "o_custkey", "c_custkey")
     return (
-        pruned.join(F.broadcast(cust), pruned.o_custkey == cust.c_custkey, "semi")
+        pruned.join(cust, pruned.o_custkey == cust.c_custkey, "semi")
         .groupBy(
             F.date_trunc("month", "o_orderdate").cast("date").alias("month")
         )

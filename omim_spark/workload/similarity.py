@@ -259,7 +259,13 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its embedding space agree (doc_id ≡ vec_id in the fixtures).
 
     Scale: the expensive side (text pair mining) is the LSH funnel;
-    the embedding annotate is two broadcast-able id-joins after it."""
+    the embedding annotate is two id-equi-joins after it.  Neither
+    side carries a broadcast hint: the embedding table is
+    corpus-proportional (terabytes at 100 TB — force-broadcasting it
+    is the one unconditionally wrong choice), and the pair table is
+    data-dependent, so the planner/AQE picks the build side from real
+    sizes — typically broadcasting the pair table and leaving the
+    embedding side as a pruned scan."""
     from omim_spark.workload.dedup import _shingles
 
     sh = (
@@ -290,8 +296,8 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ea = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
     eb = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
     return (
-        textdups.join(F.broadcast(ea), F.col("doc_a") == F.col("ia"))
-        .join(F.broadcast(eb), F.col("doc_b") == F.col("ib"))
+        textdups.join(ea, F.col("doc_a") == F.col("ia"))
+        .join(eb, F.col("doc_b") == F.col("ib"))
         .select(
             "doc_a",
             "doc_b",

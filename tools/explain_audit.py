@@ -103,8 +103,10 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
     },
     "q_crossmodal_neardup": {
-        # embedding annotate joins must broadcast the embedding side
-        "min_bhj": 2,
+        # the annotate joins must never force-broadcast the
+        # (corpus-proportional) embedding table; equi-joins only —
+        # the planner picks the build side from real sizes
+        "forbid": ["CartesianProduct"],
     },
     "q_dedup_ngram_jaccard": {
         # the hot-shingle df-cap is aggregate + broadcast ANTI join —
@@ -301,10 +303,15 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct"],
     },
     "q_dedup_minhash_lsh": {
-        # row-local signature stage: the whole funnel runs in THREE
-        # hash exchanges (candidate self-join key, intersection count,
-        # size join) — the old explode+groupBy signature pass is gone
-        "max_hash_exchanges": 3,
+        # r5 contract: the verification tier's joins are SMJ by
+        # explicit hint (Catalyst's static estimate for the candidate
+        # shingle table is off by orders of magnitude — an unhinted
+        # plan statically broadcast it and OOM'd a 100x probe), so the
+        # funnel now pays its shuffles openly: signature stage is
+        # still row-local (no explode+groupBy pass), no cross product,
+        # and the sort-merge tier must actually be sort-merge
+        "require": ["SortMergeJoin"],
+        "max_hash_exchanges": 9,
         "forbid": ["CartesianProduct"],
     },
     "q_markov_transitions": {
