@@ -28,6 +28,12 @@ from .registry import register, table
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
 
+# Hot-shingle df cap for the cross-modal pair mining — must equal
+# workload.dedup.MAX_DF (asserted inside q_crossmodal_neardup; a
+# literal here because the oracle f-string is built at import time
+# and dedup is imported lazily to avoid a module cycle).
+_XM_MAX_DF = 20
+
 N_PLANES = 8
 DIM = 64
 
@@ -229,10 +235,12 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
       FROM tk
     ),
-    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {_XM_MAX_DF}),
+    shc AS (SELECT sh.* FROM sh ANTI JOIN hot USING (s)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     textdups AS (
@@ -258,21 +266,34 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit query a training pipeline runs to check that its text dedup
     and its embedding space agree (doc_id ≡ vec_id in the fixtures).
 
-    Scale: the expensive side (text pair mining) is the LSH funnel;
-    the embedding annotate is two id-equi-joins after it.  Neither
-    side carries a broadcast hint: the embedding table is
-    corpus-proportional (terabytes at 100 TB — force-broadcasting it
-    is the one unconditionally wrong choice), and the pair table is
-    data-dependent, so the planner/AQE picks the build side from real
-    sizes — typically broadcasting the pair table and leaving the
-    embedding side as a pruned scan."""
-    from omim_spark.workload.dedup import _shingles
+    Scale: the pair mining is the df-capped inverted-index funnel —
+    the same hot-shingle cap as the Jaccard headline (an uncapped
+    shingle self-join, which this query ran until round 5, is the
+    measured 45.9× shape: one boilerplate shingle funnels the whole
+    corpus through one bucket).  The embedding annotate is two
+    id-equi-joins after it.  No broadcast hints anywhere: the
+    embedding table is corpus-proportional (terabytes at 100 TB —
+    force-broadcasting it is the one unconditionally wrong choice),
+    the hot list is a Zipf head, and the pair table is data-dependent
+    — the planner/AQE picks build sides from real sizes."""
+    from omim_spark.workload.dedup import MAX_DF, _shingles
 
-    sh = (
+    assert MAX_DF == _XM_MAX_DF  # oracle literal must track the cap
+    sh_all = (
         _shingles(spark, sf_dir)
         .select("doc_id", F.xxhash64("s").alias("s"))
         .localCheckpoint(eager=False)
     )
+    hot = (
+        sh_all.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_DF)
+        .select("s")
+    )
+    # One hash exchange on s after the cap (same shape as the ngram
+    # headline): the self-join's two sides and the sizes rollup read
+    # it as a ReusedExchange instead of re-running the cap.
+    sh = sh_all.join(hot, "s", "left_anti").repartition("s")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -103,9 +103,11 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
     },
     "q_crossmodal_neardup": {
+        # pair mining must carry the hot-shingle df cap (LeftAnti);
         # the annotate joins must never force-broadcast the
         # (corpus-proportional) embedding table; equi-joins only —
         # the planner picks the build side from real sizes
+        "require": ["LeftAnti"],
         "forbid": ["CartesianProduct"],
     },
     "q_dedup_ngram_jaccard": {
