@@ -95,6 +95,7 @@ _VERIFY_FIRST = [
     "q_countmin_heavy_hitters",
     # New in round 5 (appended below as they are added).
     "q_ann_ivf_stored",  # IVF probe against the stored cid-partitioned layout
+    "q_dedup_normalized",  # C4-style normalized near-exact dedup tier
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

@@ -209,6 +209,64 @@ def band_signatures(docs: DataFrame) -> DataFrame:
 
 
 @register(
+    "q_dedup_normalized",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id,
+             MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+             MD5(text) AS raw_hash
+      FROM documents
+    )
+    SELECT norm_hash,
+           MIN(doc_id) AS canonical_doc,
+           COUNT(*) AS n_copies,
+           COUNT(DISTINCT raw_hash) AS n_raw_variants
+    FROM n
+    GROUP BY norm_hash
+    ORDER BY norm_hash
+    """,
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized near-exact dedup — the tier between exact hashing
+    and shingle Jaccard that production corpora run first (C4-style:
+    lowercase, strip punctuation, collapse whitespace, THEN hash), so
+    trivial case/punctuation variants collapse without paying the
+    near-dup funnel.  ``n_raw_variants`` counts how many distinct raw
+    hashes each normalized cluster merged — the measured win of the
+    tier over plain exact dedup.
+
+    Scale: identical cost shape to q_dedup_exact — the normalization
+    is row-local string expressions inside the scan stage, then ONE
+    shuffle keyed by a uniform 128-bit hash; the COUNT(DISTINCT
+    raw_hash) rides the same exchange (partial aggregation expands it
+    map-side, and raw-variant counts per cluster are small by
+    construction, so no skew)."""
+    docs = table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(norm.cast("binary")).alias("norm_hash"),
+            F.md5(F.col("text").cast("binary")).alias("raw_hash"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("raw_hash").alias("n_raw_variants"),
+        )
+        .orderBy("norm_hash")
+    )
+
+
+@register(
     "q_dedup_exact",
     headline=True,
     oracle="""
