@@ -56,7 +56,10 @@ from . import maintenance  # noqa: E402,F401
 #   query changed after that sweep (q_crossmodal_neardup's df cap)
 #   was re-verified individually at sf0.001 and sf0.01.  A closing
 #   full sweep after the last r5 additions (q_ann_ivf_stored,
-#   q_dedup_normalized): 157 pass, 0 fail, 1 rows-only at sf0.01.
+#   q_dedup_normalized, q_perplexity_filter): 158 pass, 0 fail,
+#   1 rows-only at sf0.01 (q_perplexity_filter itself additionally
+#   verified at both sfs after a post-sweep non-semantic
+#   localCheckpoint edit).
 # - q_events_hourly_hll moved to _VERIFY_LAST (the r4 judge's #1
 #   item): it is rows-only by design (raw HLL sketches cannot
 #   hash-match DuckDB; the exact-contract sibling q_events_hourly is
@@ -98,6 +101,7 @@ _VERIFY_FIRST = [
     # New in round 5 (appended below as they are added).
     "q_ann_ivf_stored",  # IVF probe against the stored cid-partitioned layout
     "q_dedup_normalized",  # C4-style normalized near-exact dedup tier
+    "q_perplexity_filter",  # CCNet-style head/middle/tail LM-perplexity split
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

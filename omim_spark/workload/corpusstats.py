@@ -852,3 +852,159 @@ def q_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity filter (head/middle/tail partition)
+# ---------------------------------------------------------------------------
+
+# Tercile assignment runs over a QUANTIZED histogram of per-doc NLL
+# (0.01-nat grid), not a global doc sort: the histogram's row count is
+# bounded by the NLL value range / grid step (a few thousand cells at
+# any corpus size), so the single-partition cumulative window is
+# scale-free.  Docs in a boundary cell all take that cell's bucket —
+# the documented (deterministic) tie rule.
+PPL_GRID = "decimal(9,2)"
+
+
+@register(
+    "q_perplexity_filter",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents
+    ),
+    bi AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(tk) - 1),
+                                   i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+      FROM d WHERE LEN(tk) >= 2
+    ),
+    db AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c
+      FROM bi GROUP BY 1, 2, 3
+    ),
+    cnt2 AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS n2 FROM db GROUP BY 1, 2),
+    cnt1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM cnt2 GROUP BY 1),
+    lm AS (
+      SELECT w1, w2, CAST(-LN(CAST(n2 AS DOUBLE) / n1) AS DECIMAL(18,6)) AS nll
+      FROM cnt2 JOIN cnt1 USING (w1)
+    ),
+    sc AS (
+      SELECT doc_id, CAST(SUM(c * nll) AS DOUBLE) / SUM(c) AS avg_nll
+      FROM db JOIN lm USING (w1, w2) GROUP BY doc_id
+    ),
+    g AS (
+      SELECT CAST(avg_nll AS DECIMAL(9,2)) AS grid, COUNT(*) AS n
+      FROM sc GROUP BY 1
+    ),
+    cum AS (
+      SELECT grid, n,
+             SUM(n) OVER (ORDER BY grid) AS cum,
+             SUM(SUM(n)) OVER () AS total
+      FROM g GROUP BY grid, n
+    ),
+    lab AS (
+      SELECT CASE WHEN 3 * cum <= total THEN 'head'
+                  WHEN 3 * cum <= 2 * total THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             grid, n
+      FROM cum
+    )
+    SELECT bucket,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(MIN(grid) AS DOUBLE) AS min_nll,
+           CAST(MAX(grid) AS DOUBLE) AS max_nll
+    FROM lab GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity partition: score every document under
+    the corpus's own bigram LM (avg negative log-likelihood per
+    bigram), then split the corpus into head/middle/tail terciles —
+    the standard quality-filter stage that keeps head+middle for
+    pretraining.  Output: per-bucket doc count and NLL range.
+
+    Scale path: (1) per-doc bigram counts generate map-side from the
+    token array (one Generate, map-side-combinable groupBy); (2) the
+    LM derives from those same counts — no second corpus pass; (3) the
+    doc-bigram ⋈ LM join shuffles on the (w1,w2) key, both sides
+    data-proportional, no forced broadcast (static/AQE planner
+    decides); (4) tercile boundaries come from a bounded 0.01-nat
+    NLL histogram (see PPL_GRID note), so no global doc sort exists
+    anywhere in the plan.
+
+    Float discipline (module header): -LN(p) rounds through
+    DECIMAL(18,6) per bigram TYPE before the per-doc weighted sum
+    (exact decimal arithmetic), and the avg divides once in IEEE
+    double; the tercile rule `3*cum <= k*total` is pure int64."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    db = (
+        docs.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> struct(element_at(tk, i) AS w1, "
+                    "element_at(tk, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", "b.w1", "b.w2")
+        .agg(F.count("*").alias("c"))
+        # db feeds BOTH the LM build and the scoring join: checkpoint
+        # so the tokenize+Generate corpus pass materializes once
+        # (lazy — same pattern as the dedup funnels, dedup.py:391).
+        .localCheckpoint(eager=False)
+    )
+    cnt2 = db.groupBy("w1", "w2").agg(F.sum("c").alias("n2"))
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    lm = cnt2.join(cnt1, "w1").select(
+        "w1",
+        "w2",
+        (-F.log(F.col("n2").cast("double") / F.col("n1")))
+        .cast("decimal(18,6)")
+        .alias("nll"),
+    )
+    sc = (
+        db.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.col("c") * F.col("nll")).cast("double")
+                / F.sum("c")
+            ).alias("avg_nll")
+        )
+    )
+    g = (
+        sc.select(F.col("avg_nll").cast(PPL_GRID).alias("grid"))
+        .groupBy("grid")
+        .agg(F.count("*").alias("n"))
+    )
+    w_cum = Window.orderBy("grid").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = g.select(
+        "grid",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    lab = cum.select(
+        F.when(3 * F.col("cum") <= F.col("total"), "head")
+        .when(3 * F.col("cum") <= 2 * F.col("total"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "grid",
+        "n",
+    )
+    return (
+        lab.groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.min("grid").cast("double").alias("min_nll"),
+            F.max("grid").cast("double").alias("max_nll"),
+        )
+        .orderBy("bucket")
+    )

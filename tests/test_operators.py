@@ -533,6 +533,33 @@ class TestCorpusStats:
             assert -1e-6 <= r.lang_entropy <= math.log(n_langs) + 1e-6
             assert r.kl_vs_corpus >= -1e-6  # Gibbs' inequality
 
+    def test_perplexity_filter_terciles(self, spark):
+        """The CCNet partition must (a) cover every scoreable doc,
+        (b) respect the tercile rule (head <= n/3, head+middle <=
+        2n/3 — cell-granular, so <=, never ==), and (c) split the NLL
+        axis into ordered, non-overlapping ranges."""
+        from pyspark.sql import functions as F
+
+        from omim_spark.workload import QUERIES
+
+        by = {
+            r.bucket: r
+            for r in QUERIES["q_perplexity_filter"].fn(spark, self.SF).collect()
+        }
+        assert set(by) == {"head", "middle", "tail"}
+        eligible = (
+            spark.read.parquet(f"{self.SF}/documents.parquet")
+            .filter(F.size(F.split("text", " ")) >= 2)
+            .count()
+        )
+        total = sum(r.n_docs for r in by.values())
+        assert total == eligible
+        assert 3 * by["head"].n_docs <= total
+        assert 3 * (by["head"].n_docs + by["middle"].n_docs) <= 2 * total
+        # fluent docs first: ranges ordered along the NLL axis
+        assert by["head"].max_nll < by["middle"].min_nll
+        assert by["middle"].max_nll < by["tail"].min_nll
+
 
 class TestBloom:
     SF = "/root/testdata/sf0.001"
