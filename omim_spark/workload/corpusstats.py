@@ -936,7 +936,16 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline (module header): -LN(p) rounds through
     DECIMAL(18,6) per bigram TYPE before the per-doc weighted sum
     (exact decimal arithmetic), and the avg divides once in IEEE
-    double; the tercile rule `3*cum <= k*total` is pure int64."""
+    double; the tercile rule `3*cum <= k*total` is pure int64.
+    One documented residual assumption: the double→DECIMAL(9,2) grid
+    cast relies on Spark and DuckDB agreeing on HALF_UP rounding of
+    the binary double — an avg_nll landing EXACTLY on a 0.005
+    boundary could in principle bucket differently cross-engine.
+    Such a tie requires the IEEE double to be exactly representable
+    at 3 decimal digits, which the /SUM(c) division makes measure-
+    zero in practice (empirically green at sf0.001 and sf0.01); the
+    grid is a tercile boundary, so a hypothetical tie moves one doc
+    between adjacent buckets, never corrupts a count."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tk")
     )

@@ -444,12 +444,17 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding: 8 minhashes (four 32-bit slices of each
+    """NOT the production funnel — that is q_dedup_lsh_capped, which
+    adds the hot-shingle df cap; this uncapped variant is registered
+    as the exhaustive-recall REFERENCE (its verification cost tracks
+    true near-dup pair output, measured exponent 1.13 at 100×).
+
+    MinHash + LSH banding: 8 minhashes (four 32-bit slices of each
     of two seeded md5s, see :func:`_minhash_wide`), 4 bands × 2 rows;
     candidate pairs = docs sharing any band signature; candidates are
     then verified with true Jaccard.
 
-    Scale: this is THE near-dup path for 100 TB — the signature stage
+    Scale: this is the exhaustive near-dup shape — the signature stage
     is a row-local map (no explode, no shuffle: see
     :func:`minhash_signatures`), the candidate join is on (band, sig)
     whose bucket sizes are the near-dup cluster sizes, and the
@@ -957,11 +962,98 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximation-quality metric: LSH candidate recall vs exact truth
 # ---------------------------------------------------------------------------
 
+# Deterministic md5-bucket sample for the recall metric's truth side:
+# cells < RECALL_SAMPLE_CELLS out of 256 (192 → 75% of docs, so ~56% of
+# pairs survive at sf0.01 — enough signal at test scale; production
+# would dial this down with corpus size since the estimator's variance
+# depends on the absolute number of sampled true pairs, not the rate).
+RECALL_SAMPLE_CELLS = 192
 
-@register(
-    "q_lsh_recall",
-    oracle=f"""
-    WITH {_SHINGLE_CTE_DUCK},
+# DuckDB mirror of operators.sampling.md5_bucket (0..255) — same
+# expression as pipelineops._BUCKET_SQL, re-declared here so the dedup
+# oracles stay self-contained.
+_RECALL_BUCKET_DUCK = (
+    "(STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
+)
+
+
+def _recall_metrics(docs: DataFrame) -> DataFrame:
+    """(n_true, n_candidates, n_hit, recall) of the banded-LSH funnel
+    vs exact shingle-Jaccard ≥ 0.8 ground truth, over whatever
+    (doc_id, text) corpus slice ``docs`` is — the full corpus for the
+    exhaustive reference, a deterministic md5-bucket sample for the
+    production metric.  The truth side is the quadratic-risk piece
+    (an uncapped shared-shingle inverted-index self-join — complete,
+    because any Jaccard ≥ 0.8 pair must share a shingle); the LSH side
+    is the production funnel itself (row-local band signatures, one
+    (band, sig) self-join)."""
+    sh_h = (
+        docs.withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", F.explode(F.expr(SHINGLE_HASHED_SPARK)).alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = sh_h.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh_h.alias("x"), sh_h.alias("y")
+    inter = (
+        x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("nc"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
+    truth = (
+        inter.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= 0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    bands = band_signatures(docs).localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hit = truth.join(cand, ["doc_a", "doc_b"], "semi")
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_hit = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_true"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+def _recall_oracle(sample_pred: str) -> str:
+    """Oracle SQL for the recall metric over ``documents`` rows
+    matching ``sample_pred`` ('TRUE' → exhaustive)."""
+    return f"""
+    WITH smp AS (
+      SELECT doc_id, text FROM documents WHERE {sample_pred}
+    ),
+    sh AS (
+      SELECT doc_id, UNNEST({SHINGLE_DUCK}) AS s
+      FROM smp
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS nc
@@ -995,56 +1087,58 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM hit) AS n_hit,
            ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
                  / (SELECT COUNT(*) FROM truth), 6) AS recall
-    """,
+    """
+
+
+@register(
+    "q_lsh_recall_sampled",
+    oracle=_recall_oracle(f"{_RECALL_BUCKET_DUCK} < {RECALL_SAMPLE_CELLS}"),
+)
+def q_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION recall metric: LSH candidate recall vs exact
+    Jaccard truth computed on a deterministic md5-bucket SAMPLE of the
+    corpus (cells < RECALL_SAMPLE_CELLS of 256 — see
+    operators/sampling.py:md5_bucket), so the quadratic-risk exact-
+    truth self-join only ever sees the sample: at 100 TB the truth
+    side's input is a fixed, operator-chosen fraction and the plan is
+    identical to the exhaustive variant's — only the input shrinks,
+    IN CODE, not in prose.  Membership is a pure function of doc_id
+    (no rand()), so the metric is reproducible across reruns,
+    partitionings, and cluster sizes, and the oracle filters the
+    exact same rows.  Recall estimated on a uniform doc sample is
+    unbiased for pair-level recall (each true pair survives iff both
+    endpoints do, independently of whether LSH catches it).
+
+    The exhaustive variant stays registered as q_lsh_recall (the
+    reference metric for small corpora / parameter studies)."""
+    from ..operators.sampling import md5_bucket
+
+    docs = table(spark, sf_dir, "documents").filter(
+        md5_bucket(F.col("doc_id")) < RECALL_SAMPLE_CELLS
+    )
+    return _recall_metrics(docs)
+
+
+@register(
+    "q_lsh_recall",
+    oracle=_recall_oracle("TRUE"),
 )
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measure, don't guess: the recall of the banded-LSH candidate
+    """EXHAUSTIVE recall reference — the production metric is
+    q_lsh_recall_sampled, whose truth side runs on a deterministic
+    md5-bucket sample (the implemented scale path; this variant's
+    truth side is an uncapped shared-shingle self-join, quadratic in
+    near-dup cluster size, kept for small corpora / parameter
+    studies).
+
+    Measure, don't guess: the recall of the banded-LSH candidate
     funnel against exact ground truth (every pair with true shingle
     Jaccard >= 0.8, found via the inverted-index shared-shingle join —
     complete, because any such pair must share a shingle).  One row:
     (n_true, n_candidates, n_hit, recall).  With 4 bands x 2 rows,
     expected recall at J=0.8 is 1-(1-0.8^2)^4 ~ 98% — this query pins
-    the parameter choice to data instead of folklore.
-
-    Scale: the exact-truth side is the quadratic-risk piece; at 100 TB
-    this metric runs on a stratified SAMPLE of the corpus (see
-    q_stratified_k_sample) — the plan is unchanged, only the input
-    shrinks.  The LSH side is the production funnel itself."""
-    sh_h = _shingles_hashed(spark, sf_dir).localCheckpoint(eager=False)
-    sizes = sh_h.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = sh_h.alias("x"), sh_h.alias("y")
-    inter = (
-        x.join(y, (F.col("x.s") == F.col("y.s")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("nc"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc"))
-    truth = (
-        inter.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= 0.8)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
-    cand = _lsh_candidates(spark, sf_dir).localCheckpoint(eager=False)
-    hit = truth.join(cand, ["doc_a", "doc_b"], "semi")
-    n_true = truth.agg(F.count("*").alias("n_true"))
-    n_cand = cand.agg(F.count("*").alias("n_candidates"))
-    n_hit = hit.agg(F.count("*").alias("n_hit"))
-    return (
-        n_true.crossJoin(n_cand)
-        .crossJoin(n_hit)
-        .select(
-            "n_true",
-            "n_candidates",
-            "n_hit",
-            F.round(
-                F.col("n_hit").cast("double") / F.col("n_true"), 6
-            ).alias("recall"),
-        )
-    )
+    the parameter choice to data instead of folklore."""
+    return _recall_metrics(table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

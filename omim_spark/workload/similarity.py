@@ -278,7 +278,16 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the planner/AQE picks build sides from real sizes."""
     from omim_spark.workload.dedup import MAX_DF, _shingles
 
-    assert MAX_DF == _XM_MAX_DF  # oracle literal must track the cap
+    # Oracle literal must track the cap.  An explicit raise, not
+    # ``assert``: asserts are stripped under ``python -O``, which would
+    # let a future dedup.MAX_DF change silently desync this query's
+    # Spark plan from its oracle until a sweep caught it.
+    if MAX_DF != _XM_MAX_DF:
+        raise AssertionError(
+            f"q_crossmodal_neardup oracle pins df cap {_XM_MAX_DF}, "
+            f"but dedup.MAX_DF is now {MAX_DF} — update _XM_MAX_DF and "
+            "the oracle SQL together"
+        )
     sh_all = (
         _shingles(spark, sf_dir)
         .select("doc_id", F.xxhash64("s").alias("s"))

@@ -1,0 +1,124 @@
+"""Mechanical rotation-ledger enforcement (tools/ledger.py).
+
+The repo's cumulative correctness invariant is: every registered query
+has a driver-green CORRECTNESS row under its CURRENT code.  These
+tests make the invariant impossible to violate silently:
+
+- any query whose semantic hash (oracle SQL + docstring-stripped AST
+  of the query fn and its transitive omim_spark-internal helper
+  closure) differs from the committed manifest MUST be listed in
+  ``_VERIFY_FIRST`` — the driver's next verification window;
+- the window must fit the driver's 50-slot gate;
+- the closure walker itself is pinned against regressions (if it went
+  blind to helpers or constants, a refactor like round 5's
+  q_ann_ivf_probe slip would sail through unnoticed).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools import ledger  # noqa: E402
+
+
+def test_changed_queries_are_in_verification_window():
+    from omim_spark.workload import _VERIFY_FIRST
+
+    changed = ledger.changed_queries()
+    unwindowed = [n for n in changed if n not in _VERIFY_FIRST]
+    assert not unwindowed, (
+        f"queries changed since last driver-green but NOT in "
+        f"_VERIFY_FIRST: {unwindowed} — add them to the window in "
+        "omim_spark/workload/__init__.py (and regenerate the manifest "
+        "at end of round with `python tools/ledger.py update`)"
+    )
+
+
+def test_window_fits_driver_gate():
+    from omim_spark.workload import _VERIFY_FIRST
+
+    assert len(_VERIFY_FIRST) <= 50, (
+        "_VERIFY_FIRST exceeds the driver's 50-query window — entries "
+        "past slot 50 would record nothing this round"
+    )
+    assert len(set(_VERIFY_FIRST)) == len(_VERIFY_FIRST)
+
+
+def test_manifest_covers_every_registered_query():
+    """A query missing from the manifest is treated as changed (so it
+    must be windowed) — but a STALE manifest entry for a deleted query
+    is dead weight that hides renames; keep the key sets equal."""
+    from omim_spark.workload import QUERIES
+
+    manifest = json.loads(ledger.MANIFEST.read_text())
+    missing = sorted(set(QUERIES) - set(manifest))
+    from omim_spark.workload import _VERIFY_FIRST
+
+    # new queries may legitimately be absent mid-round IF windowed
+    unwindowed_missing = [n for n in missing if n not in _VERIFY_FIRST]
+    assert not unwindowed_missing
+    stale = sorted(set(manifest) - set(QUERIES))
+    assert not stale, f"manifest entries for unregistered queries: {stale}"
+
+
+def test_closure_walker_sees_helpers_constants_and_cross_module_refs():
+    """Pin the AST walker's resolution power to the exact failure modes
+    it exists to catch (each assertion names a real dependency whose
+    silent loss would re-open the round-5 hole)."""
+    parts: dict[str, str] = {}
+    ledger._closure(
+        "omim_spark.workload.similarity", "q_ann_ivf_probe", set(), parts
+    )
+    # module-local helper functions (the round-5 slip: these were
+    # refactored without re-windowing the query)
+    assert "omim_spark.workload.similarity:_ivf_train" in parts
+    assert "omim_spark.workload.similarity:_ivf_probe_cells" in parts
+    # module-level constants
+    assert "omim_spark.workload.similarity:IVF_NPROBE" in parts
+
+    parts = {}
+    ledger._closure(
+        "omim_spark.workload.similarity", "q_crossmodal_neardup", set(), parts
+    )
+    # function-local `from omim_spark.workload.dedup import MAX_DF`
+    assert "omim_spark.workload.dedup:MAX_DF" in parts
+    assert "omim_spark.workload.dedup:_shingles" in parts
+
+    parts = {}
+    ledger._closure(
+        "omim_spark.workload.dedup", "q_lsh_recall_sampled", set(), parts
+    )
+    # function-local RELATIVE import (`from ..operators.sampling import
+    # md5_bucket`) and transitive constants
+    assert "omim_spark.operators.sampling:md5_bucket" in parts
+    assert "omim_spark.workload.dedup:RECALL_SAMPLE_CELLS" in parts
+
+
+def test_docstring_edits_do_not_change_hashes():
+    """Cosmetic doc edits must not force re-verification — only
+    semantic changes rotate a query into the window."""
+    import ast
+
+    src_a = "def f(x):\n    'old doc'\n    return x + 1\n"
+    src_b = "def f(x):\n    'new doc, totally rewritten'\n    return x + 1\n"
+    src_c = "def f(x):\n    'old doc'\n    return x + 2\n"
+    d = lambda s: ledger._dump(ast.parse(s).body[0])  # noqa: E731
+    assert d(src_a) == d(src_b)
+    assert d(src_a) != d(src_c)
+
+
+def test_sql_factory_queries_hash_their_sql():
+    """sql_query-registered queries (fn is a factory closure) must
+    still change hash when their SQL text changes — the SQL is carried
+    by the oracle field, which semantic_hashes() folds in."""
+    from omim_spark.workload import QUERIES
+
+    hashes = ledger.semantic_hashes()
+    a, b = "q04_exists_priority", "q12_case_agg_shipmode"
+    assert "<locals>" in QUERIES[a].fn.__qualname__
+    # identical factory machinery, different SQL → different hashes
+    assert hashes[a] != hashes[b]

@@ -681,6 +681,19 @@ class TestVocabAndRecall:
         assert r.n_hit <= r.n_candidates
         assert r.recall is None or 0.0 <= r.recall <= 1.0
 
+    def test_lsh_recall_sampled_is_subcorpus_of_exhaustive(self, spark):
+        """The sampled production metric obeys the same invariants AND
+        its truth/candidate counts are bounded by the exhaustive run's
+        (the md5-bucket sample only removes documents, and every pair
+        metric is monotone in the doc set)."""
+        from omim_spark.workload import QUERIES
+
+        (full,) = QUERIES["q_lsh_recall"].fn(spark, self.SF).collect()
+        (s,) = QUERIES["q_lsh_recall_sampled"].fn(spark, self.SF).collect()
+        assert 0 <= s.n_hit <= s.n_true <= full.n_true
+        assert s.n_hit <= s.n_candidates <= full.n_candidates
+        assert s.recall is None or 0.0 <= s.recall <= 1.0
+
     def test_pq_adc_orders_by_distance(self, spark):
         from omim_spark.workload import QUERIES
 

@@ -311,7 +311,11 @@ AUDITS: dict[str, dict] = {
         # plan statically broadcast it and OOM'd a 100x probe), so the
         # funnel now pays its shuffles openly: signature stage is
         # still row-local (no explode+groupBy pass), no cross product,
-        # and the sort-merge tier must actually be sort-merge
+        # and the sort-merge tier must actually be sort-merge.
+        # 9 is the MEASURED hashpartitioning count of the post-hint
+        # plan at the audit's own conditions (sf0.01, formatted
+        # explain) — pinned exactly, zero headroom, so any new
+        # exchange fails the audit immediately.
         "require": ["SortMergeJoin"],
         "max_hash_exchanges": 9,
         "forbid": ["CartesianProduct"],

@@ -115,6 +115,13 @@ def main() -> None:
     unknowns: list[dict] = []
     timeouts: list[str] = []
     results: dict[str, str] = {}
+    # Threads whose build timed out and which survived cancel+join(30).
+    # A still-alive leaked thread keeps executing against the shared
+    # SparkSession concurrently with later builds, skewing their
+    # wall-times and hint-size reads — so every result produced while
+    # one is alive is marked suspect, and its PER-QUERY job group is
+    # re-cancelled before each subsequent build.
+    leaked: list[tuple[str, threading.Thread]] = []
 
     for name, qd in QUERIES.items():
         if name in SIDE_EFFECT or name.startswith(STREAMING_PREFIX):
@@ -122,10 +129,23 @@ def main() -> None:
             print(f"skip {name}", flush=True)
             continue
 
-        built: dict = {}
+        leaked[:] = [(g, t) for g, t in leaked if t.is_alive()]
+        for group, _ in leaked:
+            sc.cancelJobGroup(group)
+        suspect = bool(leaked)
+        if suspect:
+            print(
+                f"WARN {len(leaked)} leaked build thread(s) still alive "
+                f"({', '.join(g for g, _ in leaked)}) — {name}'s timing "
+                "and hint sizes are suspect",
+                flush=True,
+            )
 
-        def _build(qd=qd, built=built):
-            sc.setJobGroup("plan-sweep", qd.name, interruptOnCancel=True)
+        built: dict = {}
+        group = f"plan-sweep:{name}"
+
+        def _build(qd=qd, built=built, group=group):
+            sc.setJobGroup(group, qd.name, interruptOnCancel=True)
             try:
                 built["df"] = qd.fn(spark, data_dir)
             except Exception as exc:  # noqa: BLE001
@@ -138,8 +158,10 @@ def main() -> None:
         th.start()
         th.join(timeout_s)
         if th.is_alive():
-            sc.cancelJobGroup("plan-sweep")
+            sc.cancelJobGroup(group)
             th.join(30)
+            if th.is_alive():
+                leaked.append((group, th))
             results[name] = "exec-at-build-timeout"
             timeouts.append(name)
             print(f"EXEC {name} build exceeded {timeout_s:.0f}s — cancelled", flush=True)
@@ -155,19 +177,20 @@ def main() -> None:
         too_big = [
             (s, b) for s, b in sizes if HINT_SIZE_CEILING < b < UNKNOWN_STATS_FLOOR
         ]
+        tag = " (suspect)" if suspect else ""
         if too_big:
-            flags.append({"query": name, "hinted": too_big})
-            results[name] = "FLAG"
-            print(f"FLAG {name} hinted-side sizes {too_big}", flush=True)
+            flags.append({"query": name, "hinted": too_big, "suspect": suspect})
+            results[name] = "FLAG" + tag
+            print(f"FLAG {name} hinted-side sizes {too_big}{tag}", flush=True)
         elif unknown:
             unknowns.append({"query": name, "n_unknown": len(unknown)})
-            results[name] = "unknown-stats"
-            print(f"UNK  {name} {len(unknown)} hinted side(s) without stats", flush=True)
+            results[name] = "unknown-stats" + tag
+            print(f"UNK  {name} {len(unknown)} hinted side(s) without stats{tag}", flush=True)
         else:
-            results[name] = "ok"
+            results[name] = "ok" + tag
             print(
                 f"ok   {name} hints={len(sizes)} "
-                f"max={max((b for _, b in sizes), default=0)} {dt:.1f}s",
+                f"max={max((b for _, b in sizes), default=0)} {dt:.1f}s{tag}",
                 flush=True,
             )
 
@@ -178,6 +201,9 @@ def main() -> None:
         "flagged": flags,
         "unknown_stats": unknowns,
         "build_timeouts": timeouts,
+        "suspect": sorted(
+            n for n, r in results.items() if r.endswith("(suspect)")
+        ),
     }
     print(json.dumps(summary))
     sys.exit(1 if flags else 0)
