@@ -7,6 +7,7 @@ from __future__ import annotations
 import argparse
 import os
 
+from omim_spark.io.artifacts import write_obograph_json, write_sssom_tsv
 from omim_spark.io.writers import write_tsv, write_ttl
 from omim_spark.pipeline import build_graph
 from omim_spark.session import get_spark
@@ -30,6 +31,10 @@ def main(argv: list[str] | None = None) -> None:
     result = build_graph(spark, args.data_dir, args.version_date)
 
     write_ttl(result.triples, os.path.join(args.out_dir, "omim.ttl"))
+    # Release-artifact tail of the reference makefile (makefile:41-58):
+    # obographs JSON (robot convert) + SSSOM mapping set (sssom parse).
+    write_obograph_json(result.triples, os.path.join(args.out_dir, "omim.json"))
+    write_sssom_tsv(result.triples, os.path.join(args.out_dir, "omim.sssom.tsv"))
     write_tsv(
         result.review_cases,
         os.path.join(args.out_dir, "review.tsv"),

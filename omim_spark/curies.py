@@ -65,13 +65,16 @@ def expand_curie(curie: str) -> str:
     return curie
 
 
-def curie_to_uri(col: Column) -> Column:
+def curie_to_uri(col: Column, extra: dict[str, str] | None = None) -> Column:
     """Column of CURIEs → column of URIs via a when-chain over the
-    literal namespace map (broadcast-free: pure expression)."""
+    literal namespace map (broadcast-free: pure expression).  ``extra``
+    overlays additional prefixes (e.g. the obographs export adds
+    NCBITaxon, which the TTL sink binds in its header instead)."""
+    ns = {**NAMESPACES, **(extra or {})}
     prefix = F.substring_index(col, ":", 1)
     local = F.substring_index(col, ":", -1)
     expr: Column | None = None
-    for pfx, uri in NAMESPACES.items():
+    for pfx, uri in ns.items():
         cond = prefix == pfx
         val = F.concat(F.lit(uri), local)
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)

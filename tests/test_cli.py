@@ -27,6 +27,14 @@ def test_cli_builds_all_artifacts(spark, omim_data_dir, tmp_path):
     head = ttl.read_text().splitlines()[:5]
     assert any(line.startswith("@prefix") for line in head)
     assert (out / "review.tsv").is_file()
+    # makefile-tail artifacts (makefile:41-58)
+    sssom = out / "omim.sssom.tsv"
+    assert sssom.is_file()
+    assert sssom.read_text().startswith("# mapping_set_id:")
+    import json as _json
+
+    doc = _json.loads((out / "omim.json").read_text())
+    assert doc["graphs"][0]["nodes"]
     robot = out / "mondo-omim-susceptibility-subset.robot.tsv"
     assert robot.is_file()
     lines = robot.read_text().splitlines()
