@@ -133,3 +133,170 @@ def entry_phenotypic_series(entries: DataFrame) -> DataFrame:
         .filter(F.col("ps_number") != "")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Gene-association enrichment report (extract_omim_information twin)
+# ---------------------------------------------------------------------------
+
+
+def _schema_path(dtype, *path: str):
+    """Walk a (possibly struct/array-nested) DataType down ``path``;
+    return the terminal DataType or None if any segment is absent.
+    Array segments are transparent (the walk descends into the
+    element type), mirroring how ``.get()`` chains tolerate missing
+    branches in the reference script."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    cur = dtype
+    for p in path:
+        while isinstance(cur, ArrayType):
+            cur = cur.elementType
+        if not isinstance(cur, StructType) or p not in cur.fieldNames():
+            return None
+        cur = cur[p].dataType
+    return cur
+
+
+def entry_gene_association_report(
+    evidence: DataFrame, entries: DataFrame
+) -> DataFrame:
+    """Spark twin of the reference's ad-hoc enrichment utility
+    ``omim2obo/utils/omim_entry_gene_association_info/
+    extract_omim_information.py:24-125``: join a MONDO evidence table
+    (columns mondo_id, mondo_label, xrefs, should_have_gene_annotation)
+    against cached API entries and explode each entry's phenotype map
+    into one row per (evidence row, extracted OMIM curie, phenotype).
+
+    Semantics mirrored from the script:
+    - OMIM/OMIMPS curies regex-extracted from the xref blob
+      (``extract_omim_ids``, :20-21); curies whose MIM has no cached
+      entry (e.g. OMIMPS ids, which the per-MIM API call errors on)
+      keep their evidence row with empty entry fields (:77-84 error
+      branch) — as does an entry with no phenotypes (the ``or [{}]``
+      explode at :100);
+    - textSectionContent is the section titled 'Text' with newlines
+      flattened to spaces (:37-43);
+    - omimURL is the spreadsheet HYPERLINK formula, empty when the
+      phenotype row has no MIM number (:52-56);
+    - hgncID from externalLinks.hgnc (:44-47);
+    - every absent JSON branch degrades to '' exactly like the
+      script's ``.get(..., "")`` chains — enforced at SCHEMA level
+      (Spark's inferred schema omits branches the landed cache never
+      carried).
+
+    Scale: the evidence table is the big side (one row per curated
+    mapping); entries is the bounded API cache.  The join key is the
+    MIM number and the phenotype explode is map-side — no UDFs, no
+    driver loops: the reference's per-row ``requests.get`` + 0.5 s
+    sleep becomes one join against the landed cache (io/fetch.py owns
+    the paged download protocol)."""
+    e = F.col("entry")
+    edt = entries.schema["entry"].dataType
+
+    def opt(*path: str):
+        if _schema_path(edt, *path) is None:
+            return F.lit(None)
+        return F.col("entry." + ".".join(path))
+
+    # The script reads ONLY the entry-level phenotypeMapList (:49 —
+    # never the geneMap-nested one; entry_phenotypic_series covers
+    # that variant for the series transform).  explode_outer on a
+    # NULL/absent list keeps the row with empty phenotype fields,
+    # matching the ``or [{}]`` at :100.
+    if _schema_path(edt, "phenotypeMapList") is not None:
+        phenos = opt("phenotypeMapList")
+    else:
+        phenos = F.lit(None).cast("array<string>")
+
+    if (
+        _schema_path(edt, "textSectionList", "textSection", "textSectionTitle")
+        is not None
+        and _schema_path(
+            edt, "textSectionList", "textSection", "textSectionContent"
+        )
+        is not None
+    ):
+        text_col = F.trim(
+            F.regexp_replace(
+                F.filter(
+                    opt("textSectionList"),
+                    lambda s: s["textSection"]["textSectionTitle"] == "Text",
+                )[0]["textSection"]["textSectionContent"],
+                "\n",
+                " ",
+            )
+        )
+    else:
+        text_col = F.lit(None)
+
+    entry_flat = entries.select(
+        e["mimNumber"].cast("string").alias("_mim_number"),
+        F.coalesce(opt("prefix"), F.lit("")).alias("omim_prefix"),
+        F.coalesce(text_col, F.lit("")).alias("textSectionContent"),
+        F.coalesce(opt("externalLinks", "hgnc"), F.lit("")).alias("hgncID"),
+        phenos.alias("_phenos"),
+    )
+
+    ev = evidence.withColumn(
+        "extracted_omim_curie",
+        F.explode(
+            F.regexp_extract_all("xrefs", F.lit(r"(OMIM(?:PS)?:\d+)"), 1)
+        ),
+    ).withColumn("_mim", F.substring_index("extracted_omim_curie", ":", -1))
+
+    joined = ev.join(
+        entry_flat, ev["_mim"] == entry_flat["_mim_number"], "left"
+    ).select(
+        "mondo_id",
+        "mondo_label",
+        "xrefs",
+        "should_have_gene_annotation",
+        "extracted_omim_curie",
+        F.coalesce("omim_prefix", F.lit("")).alias("omim_prefix"),
+        F.coalesce("textSectionContent", F.lit("")).alias("textSectionContent"),
+        F.coalesce("hgncID", F.lit("")).alias("hgncID"),
+        F.explode_outer("_phenos").alias("_pm"),
+    )
+
+    pdt = _schema_path(edt, "phenotypeMapList")
+
+    def pm_field(name: str):
+        if pdt is None or _schema_path(pdt, "phenotypeMap", name) is None:
+            return F.lit(None).cast("string")
+        return F.col("_pm")["phenotypeMap"][name].cast("string")
+
+    pheno_mim = pm_field("phenotypeMimNumber")
+    return joined.select(
+        "mondo_id",
+        "mondo_label",
+        "xrefs",
+        "should_have_gene_annotation",
+        "extracted_omim_curie",
+        F.coalesce(pm_field("phenotype"), F.lit("")).alias("phenotype"),
+        "omim_prefix",
+        F.coalesce(pheno_mim, F.lit("")).alias("phenotypeMimNumber"),
+        # the script takes geneMimNumber from the phenotypeMap's own
+        # mimNumber field (:62), not the outer entry
+        F.coalesce(pm_field("mimNumber"), F.lit("")).alias("geneMimNumber"),
+        F.when(
+            pheno_mim.isNotNull() & (pheno_mim != ""),
+            F.concat(
+                F.lit('=HYPERLINK("https://omim.org/entry/'),
+                pheno_mim,
+                F.lit('", "https://omim.org/entry/'),
+                pheno_mim,
+                F.lit('")'),
+            ),
+        )
+        .otherwise("")
+        .alias("omimURL"),
+        F.coalesce(pm_field("phenotypeMappingKey"), F.lit("")).alias(
+            "phenotypeMappingKey"
+        ),
+        F.coalesce(pm_field("approvedGeneSymbols"), F.lit("")).alias(
+            "approvedGeneSymbols"
+        ),
+        "hgncID",
+        "textSectionContent",
+    )

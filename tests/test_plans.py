@@ -41,3 +41,31 @@ def test_hinted_join_size_walker(spark):
 
     unhinted = big.join(dim, "k")
     assert _hinted_join_sizes(unhinted._jdf) == []
+
+
+def test_plan_sweep_no_flags_on_synthesized_corpus(spark, tmp_path_factory):
+    """The 100x broadcast-hazard sweep (tools/plan_sweep.py), runnable
+    every round without a pre-built scratch corpus: synthesize a 10x
+    replica of sf0.001 (key-strided facts, fresh doc/event ids — the
+    same machinery the real 100x probes use, tools/scale_probe.py) and
+    re-plan ALL registry queries against it.  Asserts ZERO
+    broadcast-hinted sides whose optimizer estimate exceeds the 64 MB
+    ceiling and zero build timeouts.  The unknown-stats bucket (inline
+    LocalRelation fixtures report Long.MaxValue, not a measurement) is
+    pinned to the three known fixture-dim queries so a NEW unknown
+    can't hide there."""
+    from tools.plan_sweep import sweep
+    from tools.scale_probe import synthesize
+
+    d = str(tmp_path_factory.mktemp("plan_sweep_10x"))
+    synthesize(spark, d, 10, base="/root/testdata/sf0.001")
+    summary = sweep(spark, d, timeout_s=60.0)
+    assert summary["n_flagged"] == 0, summary["flagged"]
+    assert summary["build_timeouts"] == []
+    assert summary["suspect"] == []
+    unknown = {u["query"] for u in summary["unknown_stats"]}
+    assert unknown <= {
+        "q_dedup_incremental",  # exact-hit id list vs a LocalRelation dim
+        "q_omim_assoc_decision",  # inline curator-exclusion fixture dims
+        "q_equiv_cliques",  # inline clique fixture dim
+    }, unknown

@@ -104,11 +104,11 @@ def _hinted_join_sizes(jdf) -> list[tuple[str, int]]:
     return out
 
 
-def main() -> None:
-    data_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/plan_sweep_100x"
-    timeout_s = float(sys.argv[2]) if len(sys.argv) > 2 else 45.0
-    spark = get_spark("omim-spark-plan-sweep")
-    spark.sparkContext.setLogLevel("ERROR")
+def sweep(spark, data_dir: str, timeout_s: float = 45.0) -> dict:
+    """Re-plan every batch registry query against ``data_dir`` and
+    return the summary dict (see module docstring).  Callable from
+    pytest (test_plans.py runs it per-round on a small synthesized
+    corpus) as well as from main()."""
     sc = spark.sparkContext
 
     flags: list[dict] = []
@@ -194,7 +194,7 @@ def main() -> None:
                 flush=True,
             )
 
-    summary = {
+    return {
         "data_dir": data_dir,
         "n_queries": len(results),
         "n_flagged": len(flags),
@@ -205,8 +205,16 @@ def main() -> None:
             n for n, r in results.items() if r.endswith("(suspect)")
         ),
     }
+
+
+def main() -> None:
+    data_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/plan_sweep_100x"
+    timeout_s = float(sys.argv[2]) if len(sys.argv) > 2 else 45.0
+    spark = get_spark("omim-spark-plan-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    summary = sweep(spark, data_dir, timeout_s)
     print(json.dumps(summary))
-    sys.exit(1 if flags else 0)
+    sys.exit(1 if summary["n_flagged"] else 0)
 
 
 if __name__ == "__main__":

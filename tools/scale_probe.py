@@ -60,11 +60,11 @@ def replicate(spark, df, replicas: int, offsets: dict[str, int]):
     return out.drop("_rep")
 
 
-def synthesize(spark, out_dir: str, replicas: int) -> None:
+def synthesize(spark, out_dir: str, replicas: int, base: str = BASE) -> None:
     from pyspark.sql import functions as F
 
     def rd(name):
-        return spark.read.parquet(f"{BASE}/{name}.parquet")
+        return spark.read.parquet(f"{base}/{name}.parquet")
 
     n = {t: rd(t).count() for t in ("customer", "supplier", "part", "orders")}
 
@@ -96,7 +96,7 @@ def synthesize(spark, out_dir: str, replicas: int) -> None:
     # to TIMESTAMP(MICROS).
     from omim_spark.workload.registry import events_table
 
-    ev = events_table(spark, BASE)
+    ev = events_table(spark, base)
     n_ev = ev.count()
     user_stride = ev.agg(F.max("user_id")).first()[0] + 1
     replicate(
