@@ -1090,6 +1090,25 @@ def _recall_oracle(sample_pred: str) -> str:
     """
 
 
+def lsh_recall(
+    spark: SparkSession, sf_dir: str, sample_cells: int | None = None
+) -> DataFrame:
+    """The recall metric with an operator-chosen deterministic sample
+    fraction (``sample_cells``/256 of documents; None = exhaustive).
+    The fraction is the production scale knob: the estimator's
+    variance depends on the absolute number of sampled true pairs, so
+    a bigger corpus takes a SMALLER fraction at the same confidence —
+    the registered q_lsh_recall_sampled pins 192/256 for oracle-scale
+    signal, and the 100× probe in SCALING.md runs this same code path
+    dialed down to 16/256."""
+    docs = table(spark, sf_dir, "documents")
+    if sample_cells is not None:
+        from ..operators.sampling import md5_bucket
+
+        docs = docs.filter(md5_bucket(F.col("doc_id")) < sample_cells)
+    return _recall_metrics(docs)
+
+
 @register(
     "q_lsh_recall_sampled",
     oracle=_recall_oracle(f"{_RECALL_BUCKET_DUCK} < {RECALL_SAMPLE_CELLS}"),
@@ -1111,12 +1130,7 @@ def q_lsh_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exhaustive variant stays registered as q_lsh_recall (the
     reference metric for small corpora / parameter studies)."""
-    from ..operators.sampling import md5_bucket
-
-    docs = table(spark, sf_dir, "documents").filter(
-        md5_bucket(F.col("doc_id")) < RECALL_SAMPLE_CELLS
-    )
-    return _recall_metrics(docs)
+    return lsh_recall(spark, sf_dir, RECALL_SAMPLE_CELLS)
 
 
 @register(
@@ -1138,7 +1152,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_true, n_candidates, n_hit, recall).  With 4 bands x 2 rows,
     expected recall at J=0.8 is 1-(1-0.8^2)^4 ~ 98% — this query pins
     the parameter choice to data instead of folklore."""
-    return _recall_metrics(table(spark, sf_dir, "documents"))
+    return lsh_recall(spark, sf_dir, None)
 
 
 # ---------------------------------------------------------------------------

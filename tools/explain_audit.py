@@ -110,6 +110,17 @@ AUDITS: dict[str, dict] = {
         "require": ["LeftAnti"],
         "forbid": ["CartesianProduct"],
     },
+    "q_lsh_recall_sampled": {
+        # production recall metric (r6): the md5-bucket sample filter
+        # must evaluate INSIDE the scan stage of a 2-column documents
+        # read (doc_id, text — never lang/source/n_chars), and the
+        # truth/candidate self-joins must never degrade to a cross
+        # product.  The crossJoins of the three 1-row aggregates at
+        # the end are the intended scalar combine — BroadcastNested-
+        # LoopJoin on singletons, not CartesianProduct.
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct"],
+    },
     "q_dedup_ngram_jaccard": {
         # the hot-shingle df-cap is aggregate + broadcast ANTI join —
         # map-side-combinable counts, hot list broadcast; never a
