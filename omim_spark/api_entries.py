@@ -183,7 +183,14 @@ def entry_gene_association_report(
     - every absent JSON branch degrades to '' exactly like the
       script's ``.get(..., "")`` chains — enforced at SCHEMA level
       (Spark's inferred schema omits branches the landed cache never
-      carried).
+      carried).  One documented divergence remains: the script's bare
+      ``entry["prefix"]`` (:34) raises per-ENTRY when the key is
+      missing, emptying all of that entry's enrichment fields; the
+      landed schema cannot distinguish a missing key from an explicit
+      ``"prefix": null`` once ANY entry in the file carries the field
+      (both land as NULL), so the all-empty error branch applies when
+      the column is absent file-wide, and a row-level NULL takes the
+      script's ``prefix=None`` (populated-fields) path.
 
     Scale: the evidence table is the big side (one row per curated
     mapping); entries is the bounded API cache.  The join key is the
@@ -230,11 +237,24 @@ def entry_gene_association_report(
     else:
         text_col = F.lit(None)
 
+    # Error-branch parity (:77-84): the script's bare ``entry["prefix"]``
+    # at :34 raises KeyError when the cache never carries the field,
+    # which empties EVERY enrichment field for the entry — not just the
+    # prefix.  Mirrored at schema level: a wholly absent prefix column
+    # blanks text/hgnc/phenotypes too.  (A present-but-null prefix is
+    # the script's ``prefix=None`` case — other fields stay populated.)
+    if _schema_path(edt, "prefix") is None:
+        text_col = F.lit(None)
+        hgnc_col = F.lit(None)
+        phenos = F.lit(None).cast("array<string>")
+    else:
+        hgnc_col = opt("externalLinks", "hgnc")
+
     entry_flat = entries.select(
         e["mimNumber"].cast("string").alias("_mim_number"),
         F.coalesce(opt("prefix"), F.lit("")).alias("omim_prefix"),
         F.coalesce(text_col, F.lit("")).alias("textSectionContent"),
-        F.coalesce(opt("externalLinks", "hgnc"), F.lit("")).alias("hgncID"),
+        F.coalesce(hgnc_col, F.lit("")).alias("hgncID"),
         phenos.alias("_phenos"),
     )
 
@@ -259,7 +279,14 @@ def entry_gene_association_report(
         F.explode_outer("_phenos").alias("_pm"),
     )
 
-    pdt = _schema_path(edt, "phenotypeMapList")
+    # In the error branch (prefix column absent file-wide) _phenos was
+    # forced to a typed NULL, so _pm is not a struct — every phenotype
+    # field is the branch's empty default.
+    pdt = (
+        _schema_path(edt, "phenotypeMapList")
+        if _schema_path(edt, "prefix") is not None
+        else None
+    )
 
     def pm_field(name: str):
         if pdt is None or _schema_path(pdt, "phenotypeMap", name) is None:

@@ -95,7 +95,11 @@ def sssom_rows(triples: DataFrame) -> DataFrame:
 
 def _used_curie_map(rows: DataFrame) -> dict[str, str]:
     """curie_map restricted to prefixes the mapping rows actually use
-    (what sssom-py writes) — a bounded distinct over two id columns."""
+    (what sssom-py writes) — a bounded distinct over two id columns.
+    A prefix with no NAMESPACES expansion raises: the header's
+    contract is that every prefix in the file is declared, so an
+    unknown prefix must fail the export loudly, not ship an
+    unresolvable mapping set."""
     prefixes = {
         r.p
         for r in rows.select(
@@ -109,7 +113,14 @@ def _used_curie_map(rows: DataFrame) -> dict[str, str]:
         .distinct()
         .collect()
     }
-    return {p: NAMESPACES[p] for p in sorted(prefixes) if p in NAMESPACES}
+    unknown = sorted(p for p in prefixes if p not in NAMESPACES)
+    if unknown:
+        raise ValueError(
+            f"SSSOM export: mapping rows use prefixes with no declared "
+            f"namespace expansion: {unknown} — add them to "
+            "curies.NAMESPACES (or fix the emitter)"
+        )
+    return {p: NAMESPACES[p] for p in sorted(prefixes)}
 
 
 def _yaml_header(metadata: dict) -> str:
@@ -139,7 +150,10 @@ def write_sssom_tsv(
     license / curie_map); a passed dict is written as-is except
     curie_map, which is always recomputed from the data so the header
     never lies about the prefixes in the file."""
-    rows = sssom_rows(triples)
+    # The rows lineage is executed twice (curie_map scan + the ordered
+    # body stream) — checkpoint so the exactMatch filter, label
+    # aggregate, and join run once.
+    rows = sssom_rows(triples).localCheckpoint(eager=False)
     meta = dict(metadata or {})
     meta.setdefault(
         "mapping_set_id",

@@ -73,6 +73,17 @@ _VERIFY_FIRST = [
     "q_lsh_recall_sampled",  # NEW: sampled truth side (the production metric)
     "q_lsh_recall",  # refactored onto the shared _recall_metrics helper
     "q_crossmodal_neardup",  # MAX_DF sync assert → explicit raise (ADVICE)
+    # The round-6 review factored the hashed-shingle pipeline into ONE
+    # _shingles_hashed_of(docs) helper (three inline copies before) and
+    # made the dedup oracle's md5-bucket SQL import pipelineops' copy —
+    # behavior-neutral refactors, but the ledger correctly rotates
+    # every query whose helper closure changed back into the window:
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_dedup_cluster_survivors",
+    "q_dedup_cluster_histogram",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

@@ -67,17 +67,26 @@ SHINGLE_HASHED_SPARK = (
 )
 
 
-def _shingles_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s: long) — xxhash64'd shingles, same doc filter and
-    distinct-per-doc semantics as :func:`_shingles` (array_distinct
-    over hashes ≡ distinct over strings modulo the ~1e-11 collision
-    rate the string-joining variant already accepts)."""
-    docs = table(spark, sf_dir, "documents")
+def _shingles_hashed_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, s: long) — xxhash64'd shingles of any (doc_id, text)
+    DataFrame.  THE single definition of the hashed-shingle pipeline
+    (tokenize → ≥3-token filter → hashed 3-gram explode): the corpus
+    variant, the candidate-restricted variant, and the recall metric's
+    truth side all delegate here, so the funnels and the metric that
+    measures them cannot silently diverge."""
     return (
         docs.withColumn("tk", F.split("text", " "))
         .filter(F.size("tk") >= 3)
         .select("doc_id", F.explode(F.expr(SHINGLE_HASHED_SPARK)).alias("s"))
     )
+
+
+def _shingles_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s: long) — xxhash64'd shingles, same doc filter and
+    distinct-per-doc semantics as :func:`_shingles` (array_distinct
+    over hashes ≡ distinct over strings modulo the ~1e-11 collision
+    rate the string-joining variant already accepts)."""
+    return _shingles_hashed_of(table(spark, sf_dir, "documents"))
 
 
 def _candidate_shingles(
@@ -99,12 +108,8 @@ def _candidate_shingles(
     A 100x scale probe (SCALING.md) caught exactly that failure with
     the former ``F.broadcast(cand_ids)`` hint; AQE keeps the
     dup-light fast path without the dup-heavy cliff."""
-    return (
-        table(spark, sf_dir, "documents")
-        .join(cand_ids, "doc_id", "semi")
-        .withColumn("tk", F.split("text", " "))
-        .filter(F.size("tk") >= 3)
-        .select("doc_id", F.explode(F.expr(SHINGLE_HASHED_SPARK)).alias("s"))
+    return _shingles_hashed_of(
+        table(spark, sf_dir, "documents").join(cand_ids, "doc_id", "semi")
     )
 
 
@@ -969,13 +974,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # depends on the absolute number of sampled true pairs, not the rate).
 RECALL_SAMPLE_CELLS = 192
 
-# DuckDB mirror of operators.sampling.md5_bucket (0..255) — same
-# expression as pipelineops._BUCKET_SQL, re-declared here so the dedup
-# oracles stay self-contained.
-_RECALL_BUCKET_DUCK = (
-    "(STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
-    " + STRPOS('0123456789abcdef', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1"
-)
+# DuckDB mirror of operators.sampling.md5_bucket (0..255) — the ONE
+# copy of that SQL lives in pipelineops; importing it here means a
+# future md5_bucket change cannot desync this oracle's sample filter
+# from the Spark side while pipelineops' queries stay correct.
+from .pipelineops import _BUCKET_SQL as _BUCKET_SQL_DUCK  # noqa: E402
+
+_RECALL_BUCKET_DUCK = _BUCKET_SQL_DUCK.format(key="doc_id")
 
 
 def _recall_metrics(docs: DataFrame) -> DataFrame:
@@ -988,12 +993,7 @@ def _recall_metrics(docs: DataFrame) -> DataFrame:
     because any Jaccard ≥ 0.8 pair must share a shingle); the LSH side
     is the production funnel itself (row-local band signatures, one
     (band, sig) self-join)."""
-    sh_h = (
-        docs.withColumn("tk", F.split("text", " "))
-        .filter(F.size("tk") >= 3)
-        .select("doc_id", F.explode(F.expr(SHINGLE_HASHED_SPARK)).alias("s"))
-        .localCheckpoint(eager=False)
-    )
+    sh_h = _shingles_hashed_of(docs).localCheckpoint(eager=False)
     sizes = sh_h.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = sh_h.alias("x"), sh_h.alias("y")
     inter = (

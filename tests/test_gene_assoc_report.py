@@ -179,3 +179,42 @@ def test_schema_tolerates_sparse_cache(spark):
     assert r.omim_prefix == "%"
     assert r.textSectionContent == "" and r.hgncID == ""
     assert r.phenotype == "" and r.omimURL == ""
+
+
+def test_filewide_missing_prefix_blanks_all_enrichment(spark):
+    """The script's bare ``entry["prefix"]`` raises KeyError into its
+    error branch (:34, :77-84), emptying EVERY enrichment field — when
+    the landed cache carries no prefix column at all, the twin takes
+    the same branch (see the docstring's divergence note for the
+    row-level-null case, which schema inference cannot distinguish)."""
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    noprefix = {
+        "omim": {
+            "entryList": [
+                {
+                    "entry": {
+                        "mimNumber": 100100,
+                        "titles": {"preferredTitle": "X"},
+                        "externalLinks": {"hgnc": "1950"},
+                        "phenotypeMapList": [
+                            {"phenotypeMap": {"phenotype": "P", "phenotypeMimNumber": 1}}
+                        ],
+                    }
+                }
+            ]
+        }
+    }
+    p = os.path.join(d, "entries.json")
+    open(p, "w").write(json.dumps(noprefix))
+    entries = read_entry_json(spark, p)
+    evidence = spark.createDataFrame(
+        [("MONDO:1", "l", "OMIM:100100", "TRUE")],
+        "mondo_id string, mondo_label string, xrefs string, "
+        "should_have_gene_annotation string",
+    )
+    (r,) = entry_gene_association_report(evidence, entries).collect()
+    assert r.omim_prefix == ""
+    assert r.hgncID == "" and r.textSectionContent == ""
+    assert r.phenotype == "" and r.phenotypeMimNumber == ""

@@ -162,9 +162,18 @@ def sweep(spark, data_dir: str, timeout_s: float = 45.0) -> dict:
             th.join(30)
             if th.is_alive():
                 leaked.append((group, th))
-            results[name] = "exec-at-build-timeout"
+            # A timeout measured while another build's leaked thread
+            # was still running is itself suspect — the contamination
+            # may BE the cause of the timeout.
+            results[name] = "exec-at-build-timeout" + (
+                " (suspect)" if suspect else ""
+            )
             timeouts.append(name)
-            print(f"EXEC {name} build exceeded {timeout_s:.0f}s — cancelled", flush=True)
+            print(
+                f"EXEC {name} build exceeded {timeout_s:.0f}s — cancelled"
+                + (" (suspect)" if suspect else ""),
+                flush=True,
+            )
             continue
         dt = time.perf_counter() - t0
         if "err" in built:
