@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def tokenize(text_col: str = "text") -> Column:
@@ -290,6 +291,61 @@ def duplicate_spans(
             F.min("pos").alias("min_pos"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def merged_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring dedup, excision tier: the maximal duplicated
+    spans of each document.  Every length-``n`` token window whose
+    text occurs in ≥ ``min_docs`` distinct documents is flagged, and
+    overlapping/adjacent flagged windows are merged gaps-and-islands
+    style into ``(id, span_start, span_end)`` — the unit a pipeline
+    actually cuts out (Lee et al. 2022 remove the repeated *span*,
+    not the whole document; :func:`duplicate_spans` is the detection
+    tier that reports the corpus-wide span census).
+
+    Two windows merge when ``pos - prev_pos <= n`` — overlapping or
+    exactly adjacent, so an island's token coverage is contiguous and
+    ``span_end - span_start + 1`` counts every duplicated token once.
+
+    Scale: the window table is |tokens| rows of (id, pos, 64-bit
+    hash) — longs only, no span text past the map side.  The
+    duplicated-hash set is data-proportional (it grows with corpus
+    redundancy), so the flag join is left to AQE — never a forced
+    broadcast.  Island assembly is ONE exchange on ``id``; both
+    downstream groupBys (per island, per doc) cluster on subsets led
+    by ``id``, so Catalyst reuses that partitioning instead of
+    re-shuffling."""
+    sp = token_spans(df, id_col, text_col, n).select(
+        "id", "pos", F.xxhash64("span").alias("h")
+    )
+    dup = (
+        sp.groupBy("h")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    marked = sp.join(dup, "h", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    grp = marked.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("island", F.sum("brk").over(w))
+    return (
+        grp.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .select("id", "span_start", "span_end")
     )
 
 

@@ -84,6 +84,11 @@ _VERIFY_FIRST = [
     "q_dedup_incremental",
     "q_dedup_cluster_survivors",
     "q_dedup_cluster_histogram",
+    # NEW in round 6: the excision tier of exact substring dedup —
+    # flagged windows merged gaps-and-islands into maximal spans,
+    # per-doc and per-source duplicated-token stats.
+    "q_substring_dup_stats",
+    "q_substring_dup_by_source",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

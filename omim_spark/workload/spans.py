@@ -8,6 +8,11 @@ Both are (Spark plan, DuckDB oracle) pairs over ``documents``:
   in ≥2 distinct documents (Lee et al. 2022 substring dedup,
   detection tier).  At 100 TB the plan is explode → project
   md5(span) → one skew-free shuffle on the uniform hash.
+- ``q_substring_dup_stats`` / ``q_substring_dup_by_source`` — the
+  excision tier: flagged windows merged gaps-and-islands into
+  maximal per-doc spans (the unit Lee et al. actually cut out), with
+  per-doc duplicated-token fractions and the per-source rollup a
+  pipeline gates on.
 - ``q_decontaminate`` — training docs sharing any exact 8-gram with a
   held-out benchmark corpus (here: ``source = 'src0'`` stands in for
   the evaluation suite).  The benchmark n-gram set is
@@ -20,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (parity with sibling modules)
 
-from omim_spark.operators.dedup import decontaminate, duplicate_spans
+from omim_spark.operators.dedup import (
+    decontaminate,
+    duplicate_spans,
+    merged_duplicate_spans,
+)
 
 from .registry import register, table
 
@@ -67,6 +76,161 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     would; the span text is dropped before the exchange."""
     docs = table(spark, sf_dir, "documents")
     return duplicate_spans(docs, n=SPAN_N, min_docs=2).orderBy("span_hash")
+
+
+# Shared oracle fragment for the excision tier: flagged windows
+# (appearing in >= 2 distinct docs) merged gaps-and-islands into
+# maximal per-doc spans.  Merge rule pos - prev_pos <= SPAN_N
+# (overlapping or exactly adjacent) on BOTH engines, so island token
+# coverage is contiguous and e0 - s0 + 1 is exact.
+_ISLAND_CTE = f"""
+    dup AS (
+      SELECT s FROM sp GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    m AS (SELECT doc_id, pos FROM sp SEMI JOIN dup USING (s)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {SPAN_N} THEN 0 ELSE 1 END AS brk
+      FROM m
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s0, MAX(pos) + {SPAN_N - 1} AS e0
+      FROM grp GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_spans,
+             CAST(SUM(e0 - s0 + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ),
+    lens AS (
+      SELECT doc_id, source, LEN(tk) AS n_tokens
+      FROM d WHERE LEN(tk) >= {SPAN_N}
+    )
+"""
+
+
+@register(
+    "q_substring_dup_stats",
+    oracle=f"""
+    WITH {_SPAN_CTE},
+    {_ISLAND_CTE}
+    SELECT doc_id, n_spans, dup_tokens, n_tokens,
+           CAST(dup_tokens AS DOUBLE) / n_tokens AS dup_frac
+    FROM per_doc JOIN lens USING (doc_id)
+    ORDER BY dup_frac DESC, doc_id LIMIT 50
+    """,
+)
+def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, excision tier (Lee et al. 2022): merge
+    each document's duplicated 8-token windows into maximal spans and
+    rank documents by the fraction of their tokens inside a span that
+    occurs verbatim elsewhere — exact duplicates surface at
+    dup_frac = 1.0, template/boilerplate contamination below.
+
+    Scale: one skew-free shuffle on the 64-bit window hash to find
+    duplicated windows (the hash set is data-proportional → AQE-
+    decided join, no broadcast hint); one exchange on doc_id that the
+    island window, both groupBys, and the length join all reuse; a
+    single IEEE double division per doc (bit-identical cross-engine —
+    no decimal rounding to tie-break); TakeOrdered for the top-50.
+
+    dup_frac ties are real (equal rationals), so doc_id breaks them —
+    the limit is deterministic."""
+    docs = table(spark, sf_dir, "documents")
+    spans = merged_duplicate_spans(docs, n=SPAN_N, min_docs=2)
+    per_doc = spans.groupBy("id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+    )
+    lens = (
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= SPAN_N)
+    )
+    return (
+        per_doc.withColumnRenamed("id", "doc_id")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_tokens",
+            "n_tokens",
+            (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy(F.desc("dup_frac"), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "q_substring_dup_by_source",
+    oracle=f"""
+    WITH {_SPAN_CTE},
+    {_ISLAND_CTE}
+    SELECT l.source,
+           COUNT(*) AS n_docs,
+           COUNT(p.doc_id) AS n_flagged,
+           CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+           CAST(SUM(l.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(p.dup_tokens), 0) AS DOUBLE)
+             / CAST(SUM(l.n_tokens) AS DOUBLE) AS dup_rate
+    FROM lens l LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY l.source ORDER BY l.source
+    """,
+)
+def q_substring_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-hygiene rollup of the excision tier: per source, how
+    many documents carry a cross-document duplicated span and what
+    fraction of the source's tokens sit inside one — the go/no-go
+    dashboard number before a substring-dedup pass (docs with < 8
+    tokens carry no windows and are excluded on both sides).
+
+    Scale: same funnel as q_substring_dup_stats plus one
+    map-combinable exchange on the low-cardinality source key; the
+    per-doc ↔ lens join keys on doc_id, whose partitioning the
+    upstream island stage already established.  The rate divides two
+    exact int64 sums once in IEEE double — bit-identical
+    cross-engine."""
+    docs = table(spark, sf_dir, "documents")
+    spans = merged_duplicate_spans(docs, n=SPAN_N, min_docs=2)
+    per_doc = spans.groupBy("id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("_dup")
+    )
+    lens = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= SPAN_N)
+    )
+    return (
+        lens.join(
+            per_doc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("_dup").alias("n_flagged"),
+            F.coalesce(F.sum("_dup"), F.lit(0)).alias("dup_tokens"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.coalesce(F.sum("_dup"), F.lit(0)).cast("double")
+                / F.sum("n_tokens").cast("double")
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
 
 
 @register(

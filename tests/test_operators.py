@@ -431,6 +431,48 @@ class TestSpanOps:
         stats = sorted((r.n_docs, r.n_occ, r.first_doc, r.min_pos) for r in out)
         assert stats == [(2, 2, 1, 2), (3, 3, 1, 1)]
 
+    def test_merged_spans_islands(self, spark):
+        """Gaps-and-islands semantics of merged_duplicate_spans at the
+        exact-adjacency boundary (merge when pos - prev <= n), plus
+        the min_docs=2 distinct-doc criterion."""
+        def words(prefix, lo, hi):
+            return " ".join(f"{prefix}{i}" for i in range(lo, hi + 1))
+
+        common12 = words("w", 1, 12)
+        rows = [
+            # A/B share a 12-token block -> one island each, shifted.
+            (1, common12 + " " + words("x", 13, 22)),
+            (2, words("y", 1, 10) + " " + common12),
+            # C repeats an 8-gram only WITHIN itself -> not flagged.
+            (3, words("r", 1, 8) + " " + words("u", 1, 5) + " " + words("r", 1, 8)),
+            # D/E share two 8-grams separated by 9 unique tokens ->
+            # flagged pos 1 and 18, gap 17 > 8 -> two islands.
+            (4, words("p", 1, 8) + " " + words("d", 1, 9) + " " + words("q", 1, 8)),
+            (5, words("p", 1, 8) + " " + words("e", 1, 9) + " " + words("q", 1, 8)),
+            # H: flagged pos 1 and 9 (diff exactly 8) -> MERGED [1,16];
+            # I: same two 8-grams with one token between -> diff 9 ->
+            # two islands [1,8] and [10,17].
+            (6, words("s", 1, 8) + " " + words("t", 1, 8)),
+            (7, words("s", 1, 8) + " z9 " + words("t", 1, 8)),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = dedup.merged_duplicate_spans(df, n=8, min_docs=2).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r.id, []).append((r.span_start, r.span_end))
+        got = {k: sorted(v) for k, v in got.items()}
+        # Doc 6's pos-9 t-window merges with pos-1 only if doc 7's
+        # intermediate windows don't leak into doc 6 — they can't
+        # (z9 breaks every straddling 8-gram).
+        assert got == {
+            1: [(1, 12)],
+            2: [(11, 22)],
+            4: [(1, 8), (18, 25)],
+            5: [(1, 8), (18, 25)],
+            6: [(1, 16)],
+            7: [(1, 8), (10, 17)],
+        }
+
     def test_decontaminate_flags_overlap(self, spark, docs):
         bench = spark.createDataFrame(
             [(100, "the quick brown fox jumps over the lazy dog")],
