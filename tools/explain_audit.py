@@ -69,6 +69,20 @@ AUDITS: dict[str, dict] = {
         # partial aggregation before the exchange (map-side combine)
         "require": ["HashAggregate"],
     },
+    "q_substring_dup_stats": {
+        # islands via one keyed window; top-50 must be TakeOrdered,
+        # not a global sort; window table scans only (doc_id, text)
+        "require": ["Window", "TakeOrderedAndProject"],
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_substring_dup_by_source": {
+        # same island funnel plus the source rollup — scan adds only
+        # the source column, never the full row
+        "require": ["Window"],
+        "max_scan_cols": {"documents": 3},
+        "forbid": ["CartesianProduct"],
+    },
     "q_train_test_split": {
         # split decision is a scan-level expression: only 3 cols read
         "max_scan_cols": {"documents": 3},
