@@ -89,6 +89,7 @@ _VERIFY_FIRST = [
     # per-doc and per-source duplicated-token stats.
     "q_substring_dup_stats",
     "q_substring_dup_by_source",
+    "q_substring_excise",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

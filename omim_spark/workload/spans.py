@@ -29,6 +29,7 @@ from omim_spark.operators.dedup import (
     decontaminate,
     duplicate_spans,
     merged_duplicate_spans,
+    token_spans,
 )
 
 from .registry import register, table
@@ -230,6 +231,108 @@ def q_substring_dup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q_substring_excise",
+    oracle=f"""
+    WITH {_SPAN_CTE},
+    own AS (
+      SELECT s, MIN(doc_id) AS owner FROM sp
+      GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cover AS (
+      SELECT DISTINCT sp.doc_id, j AS p
+      FROM sp JOIN own USING (s),
+           UNNEST(GENERATE_SERIES(sp.pos, sp.pos + {SPAN_N - 1})) AS u(j)
+      WHERE own.owner <> sp.doc_id
+    ),
+    nc AS (SELECT doc_id, COUNT(*) AS ncov FROM cover GROUP BY doc_id),
+    toks AS (
+      SELECT doc_id, j AS p, tk[j] AS tok
+      FROM d, UNNEST(GENERATE_SERIES(1, LEN(tk))) AS u(j)
+      WHERE LEN(tk) >= {SPAN_N}
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok FROM toks t
+      ANTI JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+    ),
+    reb AS (
+      SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    lens AS (
+      SELECT doc_id, LEN(tk) AS n_before FROM d WHERE LEN(tk) >= {SPAN_N}
+    )
+    SELECT l.doc_id,
+           CAST(l.n_before AS BIGINT) AS n_before,
+           CAST(l.n_before - nc.ncov AS BIGINT) AS n_after,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM nc JOIN lens l USING (doc_id) LEFT JOIN reb r USING (doc_id)
+    ORDER BY l.doc_id
+    """,
+)
+def q_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The excision pass itself (Lee et al. 2022 keep-one-occurrence):
+    every duplicated 8-token window is owned by the lowest doc_id that
+    carries it; every other document has the covered tokens cut out.
+    Returns the affected documents with before/after token counts and
+    the rebuilt text — an exact duplicate of an earlier doc excises to
+    the empty string (doc-level dedup falls out as the degenerate
+    case).
+
+    Scale — the token text NEVER shuffles: covered positions are
+    aggregated into one sorted array per affected doc (bounded by doc
+    length), joined back onto the corpus, and the rewrite is a
+    row-local higher-order function (transform + filter + array_join)
+    on the already-scanned token array.  The heavy exchanges are the
+    window-hash aggregate and one (id)-keyed collect_set — both move
+    longs only.  The DuckDB oracle states the same semantics as a
+    positional anti join, so the hash match also proves the row-local
+    rewrite equals the relational formulation."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= SPAN_N)
+    )
+    sp = token_spans(
+        table(spark, sf_dir, "documents"), n=SPAN_N
+    ).select("id", "pos", F.xxhash64("span").alias("h"))
+    own = (
+        sp.groupBy("h")
+        .agg(
+            F.count_distinct("id").alias("nd"),
+            F.min("id").alias("owner"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    cut = (
+        sp.join(own, "h")
+        .filter(F.col("owner") != F.col("id"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_N - 1))
+            ).alias("p"),
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("p")).alias("cut"))
+    )
+    return (
+        docs.join(cut, docs["doc_id"] == cut["id"])
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_before"),
+            (F.size("tk") - F.size("cut")).cast("long").alias("n_after"),
+            F.expr(
+                "array_join(filter(transform(tk, (x, i) -> "
+                "IF(array_contains(cut, CAST(i + 1 AS BIGINT)), NULL, x)), "
+                "x -> x IS NOT NULL), ' ')"
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -473,6 +473,33 @@ class TestSpanOps:
             7: [(1, 8), (10, 17)],
         }
 
+    def test_excise_keeps_owner_copy(self, spark):
+        """q_substring_excise ownership semantics on a crafted corpus:
+        the lowest doc_id carrying a duplicated window keeps it, every
+        other doc loses the covered tokens; an exact duplicate of an
+        earlier doc excises to the empty string."""
+        import os, tempfile
+
+        from omim_spark.workload import QUERIES
+
+        block = " ".join(f"w{i}" for i in range(1, 9))
+        rows = [
+            (1, block + " a1 a2", "en", "s", 0),          # owner: untouched
+            (2, "b1 b2 " + block, "en", "s", 0),          # loses the block
+            (3, block, "en", "s", 0),                     # exact dup of the window: all cut
+            (4, "c1 c2 c3 c4 c5 c6 c7 c8 c9", "en", "s", 0),  # unique: absent
+        ]
+        d = tempfile.mkdtemp()
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.doc_id: r for r in QUERIES["q_substring_excise"].fn(spark, d).collect()}
+        assert set(out) == {2, 3}
+        assert (out[2].n_before, out[2].n_after) == (10, 2)
+        assert out[2].clean_text == "b1 b2"
+        assert (out[3].n_before, out[3].n_after) == (8, 0)
+        assert out[3].clean_text == ""
+
     def test_decontaminate_flags_overlap(self, spark, docs):
         bench = spark.createDataFrame(
             [(100, "the quick brown fox jumps over the lazy dog")],

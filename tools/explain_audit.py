@@ -83,6 +83,14 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 3},
         "forbid": ["CartesianProduct"],
     },
+    "q_substring_excise": {
+        # the rewrite is row-local: exactly one Generate fan-out (the
+        # cut-position explode) besides the window-table explode; the
+        # token text must never be a join key — no cartesian, 2-col scan
+        "require": ["Generate"],
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct"],
+    },
     "q_train_test_split": {
         # split decision is a scan-level expression: only 3 cols read
         "max_scan_cols": {"documents": 3},
