@@ -188,3 +188,58 @@ class TestMinhashRowLocalProperty:
         )
         grouped = {tuple(r) for r in _minhash_wide(sh).collect()}
         assert rowlocal == grouped
+
+
+class TestMergedSpansProperty:
+    # Tiny token alphabet + short docs force window collisions; n=3
+    # keeps windows shorter than the docs so islands actually merge.
+    doc_texts = st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=12).map(" ".join),
+        min_size=0,
+        max_size=6,
+    )
+
+    @given(texts=doc_texts)
+    @settings(**SETTINGS)
+    def test_matches_bruteforce(self, spark, texts):
+        from omim_spark.operators.dedup import merged_duplicate_spans
+
+        n = 3
+        rows = [(i + 1, t) for i, t in enumerate(texts)]
+        # Brute force: windows, distinct-doc ownership, island merge.
+        wins = {}  # span text -> set of doc ids
+        per_doc = {}  # doc -> [pos...]
+        for did, t in rows:
+            tk = t.split(" ") if t else []
+            for p in range(1, len(tk) - n + 2):
+                s = " ".join(tk[p - 1 : p - 1 + n])
+                wins.setdefault(s, set()).add(did)
+        for did, t in rows:
+            tk = t.split(" ") if t else []
+            flagged = [
+                p
+                for p in range(1, len(tk) - n + 2)
+                if len(wins[" ".join(tk[p - 1 : p - 1 + n])]) >= 2
+            ]
+            islands = []
+            for p in flagged:
+                if islands and p - islands[-1][1] <= n:
+                    islands[-1][1] = p
+                else:
+                    islands.append([p, p])
+            per_doc[did] = sorted(
+                (s0, p_last + n - 1) for s0, p_last in islands
+            )
+        want = {
+            (did, s, e)
+            for did, spans in per_doc.items()
+            for (s, e) in spans
+        }
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        got = {
+            (r.id, r.span_start, r.span_end)
+            for r in merged_duplicate_spans(df, n=n, min_docs=2).collect()
+        }
+        assert got == want
