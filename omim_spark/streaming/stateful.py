@@ -181,6 +181,80 @@ def neardup_signature_registry(docs: DataFrame) -> DataFrame:
     )
 
 
+_SPAN_OUT = StructType(
+    [
+        StructField("span_hash", StringType()),
+        StructField("owner_doc", LongType()),
+        StructField("n_docs", LongType()),
+    ]
+)
+_SPAN_STATE = StructType(
+    [StructField("owner", LongType()), StructField("n", LongType())]
+)
+
+
+def _span_registry_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    owner, n = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        batch_min = int(pdf["doc_id"].min())
+        owner = batch_min if owner is None else min(owner, batch_min)
+    state.update((owner, n))
+    yield pd.DataFrame(
+        {"span_hash": [key[0]], "owner_doc": [owner], "n_docs": [n]}
+    )
+
+
+def substring_span_registry(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Streaming exact-substring registry: documents arrive as a
+    stream, each computes its DISTINCT length-``n`` token-window md5
+    hashes row-locally (array_distinct inside the doc's own row — a
+    doc claims each span once, so the per-key claim count IS the
+    distinct-document count), and per span hash the registry
+    maintains (owner_doc = min doc_id ever seen, n_docs).  Keys that
+    reach n_docs ≥ 2 are exactly the batch detection tier's
+    duplicated windows (q_substring_spans) — this is its live twin,
+    letting an ingest pipeline excise spans on arrival instead of
+    re-scanning the corpus.
+
+    Both state fields are monotone under min/count-merge, so the
+    final registry is IDENTICAL under any micro-batch partitioning of
+    the stream; the update-log sink collapses with MIN(owner_doc) /
+    MAX(n_docs) per key.
+
+    Scale: state is one (16-byte hash + 2 longs) row per distinct
+    window — content-proportional, not stream-proportional; the span
+    map is stateless and shuffle-free before the state-store
+    exchange.  Production adds a GroupStateTimeout TTL to age out
+    cold spans."""
+    from pyspark.sql import functions as F
+
+    spans = (
+        docs.withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(tk) - {n - 1}), "
+                    f"i -> md5(CAST(concat_ws(' ', slice(tk, i, {n})) AS BINARY))))"
+                )
+            ).alias("span_hash"),
+        )
+    )
+    return spans.groupBy("span_hash").applyInPandasWithState(
+        _span_registry_fn,
+        outputStructType=_SPAN_OUT,
+        stateStructType=_SPAN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 _CURATE_OUT = StructType(
     [
         StructField("content_hash", StringType()),

@@ -90,6 +90,7 @@ _VERIFY_FIRST = [
     "q_substring_dup_stats",
     "q_substring_dup_by_source",
     "q_substring_excise",
+    "q_stream_substring_registry",  # NEW: streaming twin of the detection tier
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

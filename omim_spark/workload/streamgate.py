@@ -601,6 +601,77 @@ def q_stream_neardup_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_substring_registry",
+    oracle="""
+    WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+    sp AS (
+      SELECT DISTINCT doc_id,
+             ARRAY_TO_STRING(LIST_SLICE(tk, i, i + 7), ' ') AS s
+      FROM d, UNNEST(GENERATE_SERIES(1, LEN(tk) - 7)) AS t(i)
+      WHERE LEN(tk) >= 8
+    )
+    SELECT MD5(s) AS span_hash, MIN(doc_id) AS owner_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sp GROUP BY MD5(s) HAVING COUNT(*) >= 2
+    ORDER BY span_hash
+    """,
+)
+def q_stream_substring_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-substring registry under the gate: the
+    documents table replayed as a file-source stream, per-doc DISTINCT
+    8-token window hashes computed row-locally, and a stateful
+    (applyInPandasWithState) registry per span hash maintaining
+    (min-doc owner, claim count).  The update-mode append log is
+    collapsed to latest state per key on read (owner only decreases,
+    n only grows — exact under ANY micro-batch split; the multi-batch
+    pytest in test_streaming.py replays a forced split), then filtered
+    to the keys that reached two distinct documents — exactly the
+    batch detection tier q_substring_spans emits, now maintained
+    incrementally so an ingest pipeline can excise on arrival.
+
+    Scale: state is one row per distinct window hash
+    (content-proportional); the span map is stateless and
+    shuffle-free before the state-store exchange."""
+    from ..streaming.stateful import substring_span_registry
+
+    run_id = uuid.uuid4().hex[:12]
+    base = _SCRATCH / f"spanreg_{run_id}"
+    src, sink, ckpt = str(base / "src"), str(base / "sink"), str(base / "ckpt")
+    try:
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+
+        def land(batch_df: DataFrame, _epoch: int) -> None:
+            batch_df.write.mode("append").parquet(sink)
+
+        (
+            substring_span_registry(stream, n=8)
+            .writeStream.foreachBatch(land)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return (
+            spark.read.parquet(sink)
+            .groupBy("span_hash")
+            .agg(
+                F.min("owner_doc").alias("owner_doc"),
+                F.max("n_docs").alias("n_docs"),
+            )
+            .filter(F.col("n_docs") >= 2)
+            .orderBy("span_hash")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "q_stream_curation",
     oracle="""
     WITH qual AS (

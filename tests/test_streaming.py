@@ -206,6 +206,73 @@ class TestNeardupRegistry:
         assert final == expected
 
 
+class TestSubstringRegistry:
+    """Streaming exact-substring registry: same min/count-merge
+    monotonicity as the LSH registry, keyed on window md5."""
+
+    def test_multi_batch_matches_batch_groupby(
+        self, spark, tmp_path_factory, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        from omim_spark.streaming.stateful import substring_span_registry
+        from omim_spark.workload.registry import table
+
+        src = str(tmp_path_factory.mktemp("spanreg_in"))
+        docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        batches = []
+
+        def sink(df, epoch_id):
+            batches.append((epoch_id, df.toPandas()))
+
+        (
+            substring_span_registry(stream, n=8)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "sr_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        assert len(batches) > 1  # state genuinely crossed micro-batches
+
+        final = {}
+        for _epoch, pdf in batches:
+            for r in pdf.itertuples(index=False):
+                final[r.span_hash] = (r.owner_doc, r.n_docs)
+
+        n = 8
+        expected = {
+            r.span_hash: (r.owner_doc, r.n_docs)
+            for r in docs.withColumn("tk", F.split("text", " "))
+            .filter(F.size("tk") >= n)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"array_distinct(transform(sequence(1, size(tk) - {n - 1}), "
+                        f"i -> md5(CAST(concat_ws(' ', slice(tk, i, {n})) AS BINARY))))"
+                    )
+                ).alias("span_hash"),
+            )
+            .groupBy("span_hash")
+            .agg(
+                F.min("doc_id").alias("owner_doc"),
+                F.count("*").alias("n_docs"),
+            )
+            .collect()
+        }
+        assert final == expected
+
+
 class TestStreamingCuration:
     """Quality gate + stateful content dedup across forced micro-batches."""
 
