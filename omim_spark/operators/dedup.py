@@ -349,6 +349,96 @@ def merged_duplicate_spans(
     )
 
 
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact substring dedup, the excision pass itself (Lee et al.
+    2022 keep-one-occurrence): every duplicated length-``n`` window is
+    owned by the lowest id carrying it; every other document has the
+    covered tokens cut out.  Returns the AFFECTED documents as
+    (id, n_before, n_after, clean_text) — an exact duplicate of an
+    earlier doc excises to the empty string.
+
+    Scale — the token text never shuffles: covered positions collapse
+    to ONE sorted array per affected doc (bounded by doc length),
+    joined back onto the corpus, and the rewrite is a row-local
+    higher-order function over the already-scanned token array; only
+    64-bit window hashes and int positions cross the wire."""
+    docs = (
+        df.select(
+            F.col(id_col).alias("id"), F.split(text_col, " ").alias("tk")
+        )
+        .filter(F.size("tk") >= n)
+    )
+    sp = token_spans(df, id_col, text_col, n).select(
+        "id", "pos", F.xxhash64("span").alias("h")
+    )
+    own = (
+        sp.groupBy("h")
+        .agg(
+            F.count_distinct("id").alias("nd"),
+            F.min("id").alias("owner"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    cut = (
+        sp.join(own, "h")
+        .filter(F.col("owner") != F.col("id"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("p")).alias("cut"))
+    )
+    return docs.join(cut, "id").select(
+        "id",
+        F.size("tk").cast("long").alias("n_before"),
+        (F.size("tk") - F.size("cut")).cast("long").alias("n_after"),
+        F.expr(
+            "array_join(filter(transform(tk, (x, i) -> "
+            "IF(array_contains(cut, CAST(i + 1 AS BIGINT)), NULL, x)), "
+            "x -> x IS NOT NULL), ' ')"
+        ).alias("clean_text"),
+    )
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The cleaned corpus a substring-dedup pass actually ships:
+    every input row, with ``text_col`` rewritten for the documents
+    :func:`excise_duplicate_spans` touched (owners and unaffected docs
+    pass through untouched — including docs shorter than ``n``
+    tokens).  Schema and row count are preserved; fully-excised exact
+    duplicates survive as empty-text rows for the caller to drop or
+    keep as tombstones.
+
+    Scale: one left join of the corpus against the (affected-docs
+    only) excision output, keyed on the id — the passthrough side
+    never shuffles its text when the join partitioning comes from the
+    small side."""
+    fixed = excise_duplicate_spans(df, id_col, text_col, n).select(
+        F.col("id").alias(id_col), F.col("clean_text")
+    )
+    return (
+        df.join(fixed, id_col, "left")
+        .withColumn(
+            text_col, F.coalesce(F.col("clean_text"), F.col(text_col))
+        )
+        .drop("clean_text")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

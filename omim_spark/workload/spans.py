@@ -28,8 +28,8 @@ from pyspark.sql import functions as F  # noqa: F401  (parity with sibling modul
 from omim_spark.operators.dedup import (
     decontaminate,
     duplicate_spans,
+    excise_duplicate_spans,
     merged_duplicate_spans,
-    token_spans,
 )
 
 from .registry import register, table
@@ -290,48 +290,14 @@ def q_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-hash aggregate and one (id)-keyed collect_set — both move
     longs only.  The DuckDB oracle states the same semantics as a
     positional anti join, so the hash match also proves the row-local
-    rewrite equals the relational formulation."""
-    docs = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("tk"))
-        .filter(F.size("tk") >= SPAN_N)
-    )
-    sp = token_spans(
-        table(spark, sf_dir, "documents"), n=SPAN_N
-    ).select("id", "pos", F.xxhash64("span").alias("h"))
-    own = (
-        sp.groupBy("h")
-        .agg(
-            F.count_distinct("id").alias("nd"),
-            F.min("id").alias("owner"),
-        )
-        .filter(F.col("nd") >= 2)
-        .select("h", "owner")
-    )
-    cut = (
-        sp.join(own, "h")
-        .filter(F.col("owner") != F.col("id"))
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_N - 1))
-            ).alias("p"),
-        )
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_set("p")).alias("cut"))
-    )
+    rewrite equals the relational formulation.  Core logic:
+    :func:`omim_spark.operators.dedup.excise_duplicate_spans` (whose
+    sibling ``clean_corpus`` ships the full rewritten corpus)."""
     return (
-        docs.join(cut, docs["doc_id"] == cut["id"])
-        .select(
-            "doc_id",
-            F.size("tk").cast("long").alias("n_before"),
-            (F.size("tk") - F.size("cut")).cast("long").alias("n_after"),
-            F.expr(
-                "array_join(filter(transform(tk, (x, i) -> "
-                "IF(array_contains(cut, CAST(i + 1 AS BIGINT)), NULL, x)), "
-                "x -> x IS NOT NULL), ' ')"
-            ).alias("clean_text"),
+        excise_duplicate_spans(
+            table(spark, sf_dir, "documents"), n=SPAN_N
         )
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     )
 

@@ -500,6 +500,23 @@ class TestSpanOps:
         assert (out[3].n_before, out[3].n_after) == (8, 0)
         assert out[3].clean_text == ""
 
+    def test_clean_corpus_roundtrip(self, spark):
+        """clean_corpus preserves row count and schema, rewrites only
+        the excised docs, and passes short (<n tokens) docs through."""
+        block = " ".join(f"w{i}" for i in range(1, 9))
+        rows = [
+            (1, block + " a1 a2", "en"),
+            (2, "b1 b2 " + block, "en"),
+            (3, "tiny doc", "en"),  # < 8 tokens: untouched passthrough
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {r.doc_id: r for r in dedup.clean_corpus(df).collect()}
+        assert set(out) == {1, 2, 3}
+        assert out[1].text == rows[0][1]          # owner keeps its copy
+        assert out[2].text == "b1 b2"             # victim rewritten
+        assert out[3].text == "tiny doc"          # short doc untouched
+        assert out[2].lang == "en"                # other columns intact
+
     def test_decontaminate_flags_overlap(self, spark, docs):
         bench = spark.createDataFrame(
             [(100, "the quick brown fox jumps over the lazy dog")],
