@@ -36,6 +36,7 @@ NAMESPACES: dict[str, str] = {
     "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
     "owl": "http://www.w3.org/2002/07/owl#",
     "skos": "http://www.w3.org/2004/02/skos/core#",
+    "semapv": "https://w3id.org/semapv/vocab/",
     "dc": "http://purl.org/dc/elements/1.1/",
     "orcid": "https://orcid.org/",
 }

@@ -56,9 +56,11 @@ SSSOM_COLUMNS = [
     "mapping_justification",
 ]
 
-# sssom-py assigns this justification to mappings ingested from an
-# ontology's own assertions (no curator review step in this pipeline).
-SSSOM_JUSTIFICATION = "semapv:UnreviewedMatchCategory"
+# sssom-py assigns semapv:UnspecifiedMatching to mappings ingested
+# from an ontology's own xref/exactMatch assertions — which is what
+# the reference's `sssom parse omim.json` produces.  (It must be a
+# semapv EntityMatching term or SSSOM validators reject the file.)
+SSSOM_JUSTIFICATION = "semapv:UnspecifiedMatching"
 
 
 def sssom_rows(triples: DataFrame) -> DataFrame:
@@ -99,7 +101,15 @@ def _used_curie_map(rows: DataFrame) -> dict[str, str]:
     A prefix with no NAMESPACES expansion raises: the header's
     contract is that every prefix in the file is declared, so an
     unknown prefix must fail the export loudly, not ship an
-    unresolvable mapping set."""
+    unresolvable mapping set.
+
+    ``skos`` and ``semapv`` are added unconditionally: every row uses
+    them in predicate_id / mapping_justification, so the map must
+    declare them rather than lean on consumers' builtin contexts.
+    Documented divergence from the reference curie_map: this pipeline
+    emits ``ORPHANET:`` CURIEs (the prefix its triple emitters use)
+    where the reference's metadata.sssom.yml declares ``ORPHA`` —
+    both expand to the same ORDO namespace."""
     prefixes = {
         r.p
         for r in rows.select(
@@ -112,7 +122,7 @@ def _used_curie_map(rows: DataFrame) -> dict[str, str]:
         )
         .distinct()
         .collect()
-    }
+    } | {"skos", "semapv"}
     unknown = sorted(p for p in prefixes if p not in NAMESPACES)
     if unknown:
         raise ValueError(
@@ -159,7 +169,14 @@ def write_sssom_tsv(
         "mapping_set_id",
         "http://purl.obolibrary.org/obo/mondo/mondo-ingest/mapping/omim.sssom.tsv",
     )
+    meta.setdefault(
+        "mapping_set_description",
+        "The file `omim.sssom.tsv` flattens every skos:exactMatch edge "
+        "of the OMIM graph build. For data sources, assumptions, and "
+        "computations, refer to the repository README.",
+    )
     meta.setdefault("license", "https://creativecommons.org/licenses/by/4.0/")
+    meta.setdefault("creator_id", "https://orcid.org/0000-0002-2906-7319")
     meta["curie_map"] = _used_curie_map(rows)
     with open(path, "w") as f:
         f.write(_yaml_header(meta))
@@ -216,11 +233,15 @@ def obograph_nodes(triples: DataFrame) -> DataFrame:
                     )
                 )
             ).alias("synonyms"),
+            # robot's obographs writer emits xref val as the raw CURIE
+            # string (node/edge ids stay expanded URIs) — match that,
+            # since the reference's `sssom parse -I obographs-json`
+            # step consumes this exact checkpoint format.
             F.sort_array(
                 F.collect_set(
                     F.when(
                         F.col("predicate") == "skos:exactMatch",
-                        F.struct(curie_to_uri(F.col("object")).alias("val")),
+                        F.struct(F.col("object").alias("val")),
                     )
                 )
             ).alias("xrefs"),

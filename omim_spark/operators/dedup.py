@@ -26,7 +26,16 @@ from pyspark.sql.window import Window
 
 
 def tokenize(text_col: str = "text") -> Column:
-    return F.split(F.col(text_col), r"\s+")
+    """The ONE tokenization used end-to-end by every dedup tier:
+    single-space split, matching the DuckDB ``STRING_SPLIT(text, ' ')``
+    oracles, the workload queries, and the streaming registry twin
+    (`streaming/stateful.py`).  Positions produced by
+    :func:`token_spans` index into exactly this array, so excision
+    cuts the right tokens even on text containing tabs/newlines/runs
+    of spaces (those survive inside tokens rather than silently
+    shifting positions).  Normalize whitespace upstream if collapsing
+    is wanted."""
+    return F.split(F.col(text_col), " ")
 
 
 def shingles(
@@ -368,9 +377,7 @@ def excise_duplicate_spans(
     higher-order function over the already-scanned token array; only
     64-bit window hashes and int positions cross the wire."""
     docs = (
-        df.select(
-            F.col(id_col).alias("id"), F.split(text_col, " ").alias("tk")
-        )
+        df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("tk"))
         .filter(F.size("tk") >= n)
     )
     sp = token_spans(df, id_col, text_col, n).select(

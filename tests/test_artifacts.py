@@ -37,7 +37,9 @@ class TestSssomTsv:
         pb = rows[("OMIM:100100", "UMLS:C0033770")]
         assert pb.subject_label == "prune belly syndrome"
         assert pb.predicate_id == "skos:exactMatch"
-        assert pb.mapping_justification == "semapv:UnreviewedMatchCategory"
+        # semapv EntityMatching term sssom-py assigns to ingested
+        # xref/exactMatch assertions (validators reject non-semapv)
+        assert pb.mapping_justification == "semapv:UnspecifiedMatching"
         assert ("OMIM:100100", "ORPHANET:2970") in rows
         assert ("OMIM:118494", "HGNC:1950") in rows
 
@@ -63,6 +65,11 @@ class TestSssomTsv:
             used.add(cells[0].split(":")[0])
             used.add(cells[3].split(":")[0])
         assert used <= declared
+        # prefixes used by the fixed columns are declared too
+        assert {"skos", "semapv"} <= declared
+        # reference metadata defaults carried through
+        assert any(l.startswith("# mapping_set_description:") for l in header)
+        assert any(l.startswith("# creator_id:") for l in header)
         # rows are ordered
         keys = [(l.split("\t")[0], l.split("\t")[3]) for l in body[1:]]
         assert keys == sorted(keys)
@@ -123,6 +130,11 @@ class TestObographJson:
         assert pb["lbl"] == "prune belly syndrome"
         syns = {s["val"] for s in pb.get("meta", {}).get("synonyms", [])}
         assert syns  # fixture titles carry symbol synonyms
+        # xref val is the raw CURIE (robot's obographs format), while
+        # node/edge ids stay expanded URIs
+        xrefs = {x["val"] for x in pb.get("meta", {}).get("xrefs", [])}
+        assert "UMLS:C0033770" in xrefs
+        assert all(not v.startswith("http") for v in xrefs)
         # NCBITaxon expands via the artifact-local extra namespace
         assert "http://purl.obolibrary.org/obo/NCBITaxon_9606" in nodes
 

@@ -98,6 +98,28 @@ def test_closure_walker_sees_helpers_constants_and_cross_module_refs():
     assert "omim_spark.workload.dedup:RECALL_SAMPLE_CELLS" in parts
 
 
+def test_window_fill_is_stalest_first():
+    """Age rotation (r7): after _VERIFY_FIRST, the registry order —
+    and therefore the driver's 50-slot window fill — must be ascending
+    last-green round, so long-unverified queries re-earn driver rows
+    instead of resting on rounds-old greens."""
+    from omim_spark.workload import QUERIES, _VERIFY_FIRST, _VERIFY_LAST
+    from omim_spark.workload import _last_green_rounds
+
+    green = _last_green_rounds()
+    assert green, "ledger manifest missing or empty"
+    rest = [
+        n for n in QUERIES if n not in _VERIFY_FIRST and n not in _VERIFY_LAST
+    ]
+    greens = [green.get(n, 0) for n in rest]
+    assert greens == sorted(greens), (
+        "registry fill after _VERIFY_FIRST is not ascending last-green "
+        "round — age rotation broken"
+    )
+    # the manifest carries a real green round for every known query
+    assert all(isinstance(v, int) for v in green.values())
+
+
 def test_docstring_edits_do_not_change_hashes():
     """Cosmetic doc edits must not force re-verification — only
     semantic changes rotate a query into the window."""

@@ -517,6 +517,20 @@ class TestSpanOps:
         assert out[3].text == "tiny doc"          # short doc untouched
         assert out[2].lang == "en"                # other columns intact
 
+    def test_excise_irregular_whitespace(self, spark):
+        """One tokenization end-to-end: a tab inside the text is part
+        of a single-space token, so span positions index the same
+        array the rebuild splits — the right tokens are cut even on
+        non-single-spaced text (regression for the \\s+-vs-' '
+        detection/rebuild mismatch)."""
+        block = " ".join(f"w{i}" for i in range(1, 9))
+        rows = [(1, block), (2, "a\tb " + block)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.id: r for r in dedup.excise_duplicate_spans(df).collect()}
+        assert set(out) == {2}
+        assert (out[2].n_before, out[2].n_after) == (9, 1)
+        assert out[2].clean_text == "a\tb"
+
     def test_decontaminate_flags_overlap(self, spark, docs):
         bench = spark.createDataFrame(
             [(100, "the quick brown fox jumps over the lazy dog")],

@@ -14,23 +14,31 @@ the window).  This tool makes the ledger mechanical:
   comment/doc edits don't force re-verification) of the query function
   and every transitively reachable module-local helper, module-level
   constant, and ``omim_spark``-internal import it uses.
-- ``tests/ledger_manifest.json`` — the committed hashes as of the last
-  driver-green state.  Regenerated (``python tools/ledger.py update``)
-  at end of round, AFTER _VERIFY_FIRST is final: the driver then
-  verifies exactly that code, so the manifest is the next round's
-  "last driver-green" baseline.
+- ``tests/ledger_manifest.json`` — per query, the committed hash as of
+  the last driver-green state PLUS the round of that green
+  (``{"hash": ..., "green": N}``).  Regenerated (``python
+  tools/ledger.py update --round N``) at end of round, AFTER
+  _VERIFY_FIRST is final: the driver then verifies exactly that code,
+  so the manifest is the next round's "last driver-green" baseline,
+  and the queries inside the driver's 50-slot window get their
+  ``green`` stamped to the closing round.
 - ``tests/test_ledger.py`` — fails the suite if any query's current
   hash differs from the manifest (or is new) while the query is NOT in
   _VERIFY_FIRST.  The ledger is enforced, not curated.
+- Age rotation: the workload registry (``omim_spark/workload``) sorts
+  the queries AFTER _VERIFY_FIRST by ascending ``green`` round, so the
+  driver window's free slots always re-verify the longest-unverified
+  queries — every query re-earns a driver row every ~3 rounds instead
+  of only when edited.
 
 Over-inclusion is safe and intended: a name that merely *looks* used
 (e.g. shadowed by a local) pulls its helper into the hash, which can
 only make the ledger more sensitive, never blind.
 
 Usage:
-    python tools/ledger.py check     # exit 1 on unwindowed changes
-    python tools/ledger.py diff      # list changed/new queries
-    python tools/ledger.py update    # rewrite the manifest
+    python tools/ledger.py check              # exit 1 on unwindowed changes
+    python tools/ledger.py diff               # list changed/new queries
+    python tools/ledger.py update --round N   # rewrite the manifest
 """
 
 from __future__ import annotations
@@ -239,10 +247,16 @@ def semantic_hashes() -> dict[str, str]:
     return hashes
 
 
-def load_manifest() -> dict[str, str]:
+def load_manifest() -> dict[str, dict]:
+    """{name: {"hash": ..., "green": N}}; legacy bare-hash entries
+    (pre-r7 format) load with green=0 so they sort oldest."""
     if not MANIFEST.exists():
         return {}
-    return json.loads(MANIFEST.read_text())
+    raw = json.loads(MANIFEST.read_text())
+    return {
+        n: (v if isinstance(v, dict) else {"hash": v, "green": 0})
+        for n, v in raw.items()
+    }
 
 
 def changed_queries() -> list[str]:
@@ -250,17 +264,40 @@ def changed_queries() -> list[str]:
     (including queries the manifest has never seen)."""
     manifest = load_manifest()
     return sorted(
-        n for n, h in semantic_hashes().items() if manifest.get(n) != h
+        n
+        for n, h in semantic_hashes().items()
+        if manifest.get(n, {}).get("hash") != h
     )
+
+
+def _update(round_no: int) -> None:
+    """Rewrite the manifest: current hashes everywhere; ``green``
+    stamped to ``round_no`` for the queries inside the driver's
+    50-slot window (the first 50 registry entries — exactly what the
+    driver will verify against this committed state), preserved for
+    the rest."""
+    from omim_spark.workload import QUERIES
+
+    old = load_manifest()
+    window = set(list(QUERIES)[:50])
+    manifest = {
+        n: {
+            "hash": h,
+            "green": round_no if n in window else old.get(n, {}).get("green", 0),
+        }
+        for n, h in semantic_hashes().items()
+    }
+    MANIFEST.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {MANIFEST} (window of {len(window)} stamped green={round_no})")
 
 
 def main() -> int:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "check"
     if cmd == "update":
-        MANIFEST.write_text(
-            json.dumps(semantic_hashes(), indent=1, sort_keys=True) + "\n"
-        )
-        print(f"wrote {MANIFEST}")
+        if len(sys.argv) < 4 or sys.argv[2] != "--round":
+            print("usage: python tools/ledger.py update --round N")
+            return 2
+        _update(int(sys.argv[3]))
         return 0
     changed = changed_queries()
     if cmd == "diff":
