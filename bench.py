@@ -52,6 +52,28 @@ def main() -> None:
         if qd.headline:
             qd.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    # Fixed calibration job, MEASURED: a data-independent JVM-side
+    # aggregation whose cost is constant across rounds, so a loaded
+    # machine is detectable from the artifact itself (BENCH_r06 shipped
+    # a 2x total that was pure machine contention and the JSON carried
+    # no way to prove it).  Reported as the min/mean of 5 runs next to
+    # os.getloadavg() before and after the timed section; compare the
+    # calibration min round-over-round before reading anything into
+    # the query walls.
+    def _calibrate() -> dict[str, float]:
+        runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            spark.range(100_000_000).selectExpr("sum(id * 3 + 1)").collect()
+            runs.append(time.perf_counter() - t0)
+        return {
+            "min": round(min(runs), 3),
+            "mean": round(sum(runs) / len(runs), 3),
+        }
+
+    load_before = os.getloadavg()
+    calib_before = _calibrate()
+
     # n timed executions per query (default 5, override with
     # $SPARK_GRAFT_BENCH_RUNS).  Single executions at this scale vary
     # ±20% run-to-run (GC pauses, JIT/codegen cache state, AQE
@@ -83,6 +105,8 @@ def main() -> None:
             "n": len(runs),
         }
 
+    calib_after = _calibrate()
+    load_after = os.getloadavg()
     print(
         json.dumps(
             {
@@ -91,6 +115,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "calibration": {
+                    "job": "spark.range(1e8).sum(id*3+1), min/mean of 5",
+                    "before": calib_before,
+                    "after": calib_after,
+                    "loadavg_before": [round(x, 2) for x in load_before],
+                    "loadavg_after": [round(x, 2) for x in load_after],
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

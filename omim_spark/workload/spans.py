@@ -126,6 +126,10 @@ _ISLAND_CTE = f"""
     FROM per_doc JOIN lens USING (doc_id)
     ORDER BY dup_frac DESC, doc_id LIMIT 50
     """,
+    # Promoted to headline in round 7 (judge's #8): the substring tier
+    # is the flagship capability added in r6 — it gets round-over-round
+    # wall tracking in BENCH_r{N}.json from here on.
+    headline=True,
 )
 def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup, excision tier (Lee et al. 2022): merge
