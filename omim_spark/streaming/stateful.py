@@ -15,9 +15,14 @@ state across micro-batches:
 
 State is Arrow-serialized pandas; one state row per key, sharded by
 the shuffle partitioning of the group key — at scale the state store
-is bounded by key cardinality, not input size.  (Production would add
-a TTL via GroupStateTimeout to bound cardinality too; the operators
-accept the timeout conf but default to none so tests are exact.)
+is bounded by key cardinality, not input size.  Every operator takes
+``ttl_ms``: when set, state runs under ProcessingTimeTimeout and a key
+untouched for ``ttl_ms`` is EVICTED at the next micro-batch (the
+wrapper removes it; a later arrival re-registers from scratch).  This
+is what bounds the state store at 100 TB of stream — registries keyed
+on content (span hashes, LSH signatures, content hashes) grow with
+distinct content and never shrink without it.  Default None keeps
+NoTimeout so batch-parity oracles stay exact.
 """
 
 from __future__ import annotations
@@ -34,6 +39,32 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+def _with_ttl(fn, ttl_ms: int | None):
+    """Wrap a state function with processing-time TTL eviction.
+
+    Returns (state_fn, timeoutConf).  With a TTL: a timed-out
+    invocation (empty input, ``state.hasTimedOut``) removes the state
+    — the key ages out and a later arrival re-registers as new; every
+    data invocation re-arms the timer AFTER the inner fn has updated
+    state (the inner generator is drained first — GroupState forbids
+    setting a timeout on undefined state, and the inner ``update``
+    happens lazily inside the generator body)."""
+    if ttl_ms is None:
+        return fn, GroupStateTimeout.NoTimeout
+
+    def wrapped(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        out = list(fn(key, pdfs, state))
+        state.setTimeoutDuration(ttl_ms)
+        yield from out
+
+    return wrapped, GroupStateTimeout.ProcessingTimeTimeout
 
 _TOTALS_OUT = StructType(
     [
@@ -60,19 +91,23 @@ def _totals_fn(
     )
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
+def running_user_totals(
+    events: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Per-user running count and value sum, one updated row per key
     per micro-batch (update semantics).  Input needs ``user_id`` and
-    ``value`` columns."""
+    ``value`` columns.  ``ttl_ms`` evicts users idle longer than the
+    TTL (their totals restart from zero on return)."""
+    fn, conf = _with_ttl(_totals_fn, ttl_ms)
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _totals_fn,
+            fn,
             outputStructType=_TOTALS_OUT,
             stateStructType=_TOTALS_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )
 
@@ -100,19 +135,27 @@ def _first_seen_fn(
     yield pd.DataFrame({"key": [key[0]], "first_batch_rows": [n_rows]})
 
 
-def first_seen_filter(df: DataFrame, key_col: str) -> DataFrame:
+def first_seen_filter(
+    df: DataFrame, key_col: str, ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming exact dedup: emit each key once, on first sight, with
     the number of rows that arrived in that first batch.  Subsequent
-    arrivals only bump the (never re-emitted) state counter."""
+    arrivals only bump the (never re-emitted) state counter.
+
+    ``ttl_ms`` turns exact lifetime dedup into windowed dedup: a key
+    silent for the TTL is evicted and re-emits on return — the
+    standard bounded-state form at 100 TB of stream, where "duplicate
+    within N hours" is the contract a pipeline can actually keep."""
+    fn, conf = _with_ttl(_first_seen_fn, ttl_ms)
     return (
         df.select(df[key_col].cast("string").alias("key"))
         .groupBy("key")
         .applyInPandasWithState(
-            _first_seen_fn,
+            fn,
             outputStructType=_SEEN_OUT,
             stateStructType=_SEEN_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )
 
@@ -151,7 +194,9 @@ def _sig_registry_fn(
     )
 
 
-def neardup_signature_registry(docs: DataFrame) -> DataFrame:
+def neardup_signature_registry(
+    docs: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming LSH near-dup registry: documents arrive as a stream,
     each computes its banded MinHash signatures ROW-LOCALLY (a pure
     stateless map — :func:`omim_spark.workload.dedup.band_signatures`,
@@ -163,20 +208,24 @@ def neardup_signature_registry(docs: DataFrame) -> DataFrame:
     IDENTICAL under any micro-batch partitioning of the stream).
 
     Scale: state is one (16-byte + sig) row per distinct band
-    signature — proportional to distinct content, not stream length;
-    production adds a GroupStateTimeout TTL to age out cold
-    signatures."""
+    signature — proportional to distinct content, not stream length.
+    ``ttl_ms`` ages out signatures no document has claimed for the
+    TTL (processing-time eviction via ``_with_ttl``), bounding the
+    store on an unbounded stream; a revived signature re-registers
+    with a fresh owner, so with a TTL the dedup contract is
+    "near-dup of anything seen in the last TTL window"."""
     from ..workload.dedup import band_signatures
 
+    fn, conf = _with_ttl(_sig_registry_fn, ttl_ms)
     return (
         band_signatures(docs)
         .groupBy("band", "sig")
         .applyInPandasWithState(
-            _sig_registry_fn,
+            fn,
             outputStructType=_SIG_OUT,
             stateStructType=_SIG_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )
 
@@ -209,7 +258,9 @@ def _span_registry_fn(
     )
 
 
-def substring_span_registry(docs: DataFrame, n: int = 8) -> DataFrame:
+def substring_span_registry(
+    docs: DataFrame, n: int = 8, ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming exact-substring registry: documents arrive as a
     stream, each computes its DISTINCT length-``n`` token-window md5
     hashes row-locally (array_distinct inside the doc's own row — a
@@ -229,8 +280,13 @@ def substring_span_registry(docs: DataFrame, n: int = 8) -> DataFrame:
     Scale: state is one (16-byte hash + 2 longs) row per distinct
     window — content-proportional, not stream-proportional; the span
     map is stateless and shuffle-free before the state-store
-    exchange.  Production adds a GroupStateTimeout TTL to age out
-    cold spans."""
+    exchange.  Content-proportional still means NEVER-SHRINKING on an
+    unbounded stream, so ``ttl_ms`` is the scale path: spans no
+    arriving document has re-claimed within the TTL are evicted
+    (processing-time timeout, ``_with_ttl``), making the registry's
+    contract "duplicated against the last TTL window of content" —
+    exactly what a rolling ingest wants.  Default None keeps the
+    exact batch-parity semantics the oracle checks."""
     from pyspark.sql import functions as F
 
     spans = (
@@ -246,12 +302,13 @@ def substring_span_registry(docs: DataFrame, n: int = 8) -> DataFrame:
             ).alias("span_hash"),
         )
     )
+    fn, conf = _with_ttl(_span_registry_fn, ttl_ms)
     return spans.groupBy("span_hash").applyInPandasWithState(
-        _span_registry_fn,
+        fn,
         outputStructType=_SPAN_OUT,
         stateStructType=_SPAN_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )
 
 
@@ -294,7 +351,9 @@ def _curation_fn(
     )
 
 
-def streaming_curation(docs: DataFrame, min_tokens: int = 25) -> DataFrame:
+def streaming_curation(
+    docs: DataFrame, min_tokens: int = 25, ttl_ms: int | None = None
+) -> DataFrame:
     """Streaming ingest curation: quality-gate arriving documents
     (>= ``min_tokens`` tokens — a stateless pre-filter, applied before
     any state), then admit each content hash ONCE (stateful first-seen
@@ -304,7 +363,10 @@ def streaming_curation(docs: DataFrame, min_tokens: int = 25) -> DataFrame:
 
     Scale: the pre-filter drops junk before the state-store shuffle;
     state is one counter per distinct content hash (content-
-    proportional); production adds a GroupStateTimeout TTL."""
+    proportional); ``ttl_ms`` evicts hashes not re-submitted within
+    the TTL so the admission log is bounded on an unbounded ingest
+    (a re-arriving hash after eviction is re-admitted — windowed
+    dedup, the honest contract at that scale)."""
     from pyspark.sql import functions as F
 
     qual = (
@@ -317,10 +379,11 @@ def streaming_curation(docs: DataFrame, min_tokens: int = 25) -> DataFrame:
             "n_tok",
         )
     )
+    fn, conf = _with_ttl(_curation_fn, ttl_ms)
     return qual.groupBy("content_hash").applyInPandasWithState(
-        _curation_fn,
+        fn,
         outputStructType=_CURATE_OUT,
         stateStructType=_CURATE_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )

@@ -73,6 +73,16 @@ _VERIFY_FIRST = [
     # Round 7: real PNG decode (pure-Python, pillow-free) replaces the
     # fake tiling decoder in the query body; oracle unchanged.
     "q_multimodal_features",
+    # Round 7: streaming state TTL is now code (_with_ttl,
+    # ProcessingTimeTimeout eviction) — the stateful operators gained a
+    # ttl_ms parameter, rotating every stream query whose helper
+    # closure includes them (defaults keep NoTimeout, so oracle
+    # semantics are unchanged; eviction is pinned by
+    # tests/test_streaming.py::TestStateTTL).
+    "q_stream_stateful_dedup",
+    "q_stream_curation",
+    "q_stream_neardup_registry",
+    "q_stream_substring_registry",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

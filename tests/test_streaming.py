@@ -390,3 +390,106 @@ class TestCheckpointRestart:
         )
         assert len(set(first) | set(second)) == expected_total
         _sh.rmtree(ckpt, ignore_errors=True)
+
+
+class TestStateTTL:
+    """ProcessingTimeTimeout eviction (_with_ttl): a key silent for the
+    TTL is removed from the state store when its timer fires, and a
+    later arrival re-registers as brand new.  This is the bounded-state
+    scale path for every registry operator — without it the content-
+    keyed state stores only ever grow.
+
+    The queries here run under a continuous micro-batch trigger with an
+    explicit stop: with processing-time timers registered, Spark keeps
+    scheduling (possibly empty) micro-batches so timers can fire —
+    which also means AvailableNow never self-terminates for a TTL'd
+    operator.  TTL is for continuous ingest; the oracle-checked
+    q_stream_* queries keep the default ttl_ms=None."""
+
+    def _start(self, spark, src, ckpt, ttl_ms, schema, out):
+        from omim_spark.streaming.stateful import first_seen_filter
+
+        def sink(df, epoch_id):
+            pdf = df.toPandas()
+            if len(pdf):
+                out.extend(pdf["key"])
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        return (
+            first_seen_filter(stream, "user_id", ttl_ms=ttl_ms)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    @staticmethod
+    def _await(predicate, timeout_s=60.0):
+        import time
+
+        t0 = time.time()
+        while time.time() - t0 < timeout_s:
+            if predicate():
+                return True
+            time.sleep(0.25)
+        return False
+
+    def test_cold_key_evicts_and_revives(self, spark, tmp_path):
+        import time
+
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        mk = lambda ids: spark.createDataFrame(  # noqa: E731
+            [(i,) for i in ids], "user_id long"
+        )
+        schema = mk([0]).schema
+        mk([1]).coalesce(1).write.mode("append").parquet(src)
+
+        out: list = []
+        q = self._start(spark, src, ckpt, 500, schema, out)
+        try:
+            # key 1 registers and emits once
+            assert self._await(lambda: out == ["1"])
+            # stay silent well past the TTL: the timer fires in one of
+            # the continuously scheduled empty batches and the wrapper
+            # removes the state
+            time.sleep(3.0)
+            # key 1 returns -> re-emitted, proving the eviction
+            # actually removed it (NoTimeout semantics would drop it,
+            # as test_first_seen_filter_emits_once pins)
+            mk([1]).coalesce(1).write.mode("append").parquet(src)
+            assert self._await(lambda: out == ["1", "1"]), out
+        finally:
+            q.stop()
+
+    def test_active_key_survives_ttl_refresh(self, spark, tmp_path):
+        """Every data batch re-arms the timer: a key seen again within
+        the TTL is NOT evicted (its counter state persists, so it does
+        not re-emit either)."""
+        src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+        mk = lambda ids: spark.createDataFrame(  # noqa: E731
+            [(i,) for i in ids], "user_id long"
+        )
+        schema = mk([0]).schema
+        mk([7]).coalesce(1).write.mode("append").parquet(src)
+
+        out: list = []
+        q = self._start(spark, src, ckpt, 600_000, schema, out)
+        try:
+            assert self._await(lambda: out == ["7"])
+            # re-arrival well within the TTL: state alive -> no re-emit;
+            # wait until the second file's batch is actually processed
+            mk([7]).coalesce(1).write.mode("append").parquet(src)
+
+            def second_file_processed():
+                return (
+                    sum(
+                        p["numInputRows"]
+                        for p in (q.recentProgress or [])
+                    )
+                    >= 2
+                )
+
+            assert self._await(second_file_processed)
+            assert out == ["7"]
+        finally:
+            q.stop()
