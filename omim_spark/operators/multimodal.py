@@ -1,13 +1,21 @@
 """Multimodal column processing: image/audio/video as opaque
 ``binary`` columns with typed metadata structs.
 
-The Spark-side plumbing here is real and tested — schemas, Arrow
-batch shapes, mapInPandas partitioning, metadata propagation.  The
-actual media decode is STUBBED (``decoder='fake'`` produces
-deterministic synthetic pixels/samples; ``decoder='pillow'`` etc.
-raise NotImplementedError unless the library is importable) because
-the image/audio libraries are not in this container.  Swapping in a
-real decoder changes ONE function body, none of the plan.
+The Spark-side plumbing is real and tested — schemas, Arrow batch
+shapes, mapInPandas partitioning, metadata propagation.  Decoders:
+
+- ``decoder='png'`` — REAL image decode via the pure-Python PNG codec
+  (``operators.png``: stdlib zlib + all five scanline filters; 8-bit
+  gray/RGB/RGBA), so the image path needs no external library;
+- ``decoder='pillow'`` — the fast path when PIL is importable (raises
+  NotImplementedError otherwise);
+- ``decoder='auto'`` — pillow if available, else the pure-Python PNG
+  codec;
+- ``decoder='fake'`` — deterministic synthetic pixels derived from the
+  payload bytes, for plumbing tests and non-image payloads.
+
+Audio/video decode remains stubbed (no codec libs in the container);
+their plumbing (frame sampling, batch shapes) is real.
 
 Scale notes:
 - media bytes stay in the executor: mapInPandas streams Arrow batches,
@@ -93,6 +101,14 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 def _decode(payload, width, height, decoder: str):
     if decoder == "fake":
         return _fake_decode(payload, width, height)
+    if payload is None:
+        return None
+    if decoder == "auto":
+        decoder = "pillow" if HAS_PILLOW else "png"
+    if decoder == "png":
+        from .png import decode_png, luma
+
+        return luma(decode_png(bytes(payload)))
     if decoder == "pillow":
         try:
             import io
@@ -100,7 +116,7 @@ def _decode(payload, width, height, decoder: str):
             from PIL import Image  # noqa: F401
         except ImportError as e:  # pragma: no cover - lib not in container
             raise NotImplementedError(
-                "pillow decoder requires PIL; install pillow or use decoder='fake'"
+                "pillow decoder requires PIL; install pillow or use decoder='png'"
             ) from e
         img = Image.open(io.BytesIO(payload)).convert("L")  # pragma: no cover
         return np.asarray(img)  # pragma: no cover

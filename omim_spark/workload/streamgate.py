@@ -21,6 +21,8 @@ import shutil
 import uuid
 from pathlib import Path
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -122,27 +124,47 @@ def q_stream_hourly_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode path under the gate: binary payloads (UTF-8
-    bytes of the document text — ASCII in the fixtures, so byte ==
-    codepoint) flow through the REAL operators.multimodal mapInPandas
-    Arrow pipeline with the deterministic stub decoder (cyclic tiling
-    to width×height); the oracle replays the same arithmetic per
-    character.  A real image decoder swaps into the same plan.
+    """Multimodal decode path under the gate, REAL CODEC END-TO-END
+    (round 7): each selected document's UTF-8 bytes (ASCII in the
+    fixtures, so byte == codepoint) are tiled to a width×height
+    grayscale image, ENCODED as a genuine PNG executor-side (pandas
+    UDF over Arrow batches), then decoded back through
+    ``operators.multimodal``'s ``decoder='png'`` pure-Python codec
+    (operators/png.py: zlib inflate + scanline unfilter) inside the
+    mapInPandas feature extractor.  The oracle replays the tiling
+    arithmetic per character — a hash match therefore proves the
+    encode→decode cycle is pixel-exact, not just that the plumbing
+    runs.
 
-    Scale: payload bytes stay executor-side in Arrow batches; the
-    output is fixed-size features per row, so the downstream shuffle
-    carries KB not MB."""
+    Scale: payload bytes stay executor-side in Arrow batches from
+    encode through decode; the output is fixed-size features per row,
+    so the downstream shuffle carries KB not MB."""
+    from ..operators.png import encode_png
+
+    @F.pandas_udf("binary")
+    def to_png(text: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        out = []
+        for t, wi, hi in zip(text, w, h):
+            buf = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            px = np.resize(buf, int(wi) * int(hi)).reshape(int(hi), int(wi))
+            out.append(encode_png(px))
+        return pd.Series(out)
+
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("modality"),
-        F.col("text").cast("binary").alias("payload"),
-        F.lit("raw").alias("format"),
+        to_png(
+            "text",
+            (16 + F.col("doc_id") % 16).cast("int"),
+            (8 + F.col("doc_id") % 8).cast("int"),
+        ).alias("payload"),
+        F.lit("png").alias("format"),
         (16 + F.col("doc_id") % 16).cast("int").alias("width"),
         (8 + F.col("doc_id") % 8).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    feats = extract_image_features(media, decoder="fake")
+    feats = extract_image_features(media, decoder="png")
     return feats.select(
         "media_id",
         "width",

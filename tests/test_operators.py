@@ -203,9 +203,53 @@ class TestMultimodal:
         with _pytest.raises(Exception):
             multimodal.extract_image_features(media, decoder="nope").collect()
 
+    def test_png_decode_real_png(self, spark):
+        """The REAL decode path with no external library: a
+        deterministic PNG (every filter decoded by operators/png.py)
+        goes through extract_image_features and must reproduce the
+        known pixel statistics.  This was the one stubbed kernel until
+        round 7; decoder='png' makes it real code."""
+        import numpy as np
+
+        from omim_spark.operators.png import encode_png
+
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(encode_png(px)), "png", 8, 8, None)],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+        out = multimodal.extract_image_features(media, decoder="png").collect()[0]
+        assert out.width == 8 and out.height == 8
+        assert abs(out.mean_luma - px.mean()) < 1e-9
+        # RGB payload through the same path (luma = pillow's fixed-point)
+        rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+        rgb[..., 0] = 255  # pure red -> luma 76
+        media2 = spark.createDataFrame(
+            [(2, "image", bytearray(encode_png(rgb)), "png", 4, 4, None)],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+        out2 = multimodal.extract_image_features(media2, decoder="png").collect()[0]
+        assert out2.mean_luma == 76.0
+
+    def test_auto_decoder_falls_back_to_png(self, spark):
+        """decoder='auto' uses pillow when importable, the pure-Python
+        codec otherwise — either way the decode is real."""
+        import numpy as np
+
+        from omim_spark.operators.png import encode_png
+
+        px = np.full((5, 5), 9, dtype=np.uint8)
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(encode_png(px)), "png", 5, 5, None)],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+        out = multimodal.extract_image_features(media, decoder="auto").collect()[0]
+        assert out.mean_luma == 9.0
+
     @pytest.mark.skipif(
         not multimodal.HAS_PILLOW,
-        reason="container ships no pillow — fake decoder covers the plumbing",
+        reason="pillow absent — the pure-Python decoder above covers real decode; "
+        "this pins pillow-path parity if the lib ever appears",
     )
     def test_pillow_decode_real_png(self, spark):
         """Auto-activates if the environment ever gains pillow: a
