@@ -431,9 +431,15 @@ def clean_corpus(
     keep as tombstones.
 
     Scale: one left join of the corpus against the (affected-docs
-    only) excision output, keyed on the id — the passthrough side
-    never shuffles its text when the join partitioning comes from the
-    small side."""
+    only) excision output, keyed on the id.  On a lightly-redundant
+    corpus the excised side is small, AQE broadcasts it, and the
+    passthrough text never shuffles.  On a REDUNDANCY-HEAVY corpus the
+    affected-doc set is corpus-proportional, the join degrades to a
+    shuffle, and the full corpus text crosses the wire — the exact
+    cost class the excise operator avoids internally.  The scale path
+    for that regime is :func:`clean_corpus_bucketed`: a doc_id-
+    bucketed corpus layout makes the rewrite join shuffle-free on the
+    text side by construction."""
     fixed = excise_duplicate_spans(df, id_col, text_col, n).select(
         F.col("id").alias(id_col), F.col("clean_text")
     )
@@ -444,6 +450,34 @@ def clean_corpus(
         )
         .drop("clean_text")
     )
+
+
+def clean_corpus_bucketed(
+    spark,
+    corpus_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """:func:`clean_corpus` over a corpus stored BUCKETED by the doc
+    id (``operators.bucketing.write_bucketed(df, table, id_col)``) —
+    the rewrite join is shuffle-free on every text-carrying side by
+    construction, independent of corpus redundancy:
+
+    - the excision pass's internal ``docs ⋈ cut`` join reads the
+      bucketed table, so the token arrays never move (only the
+      position/hash longs of ``cut`` shuffle to the bucket layout);
+    - its output inherits the bucket partitioning on the id, so the
+      final ``corpus ⋈ fixed`` left join needs NO Exchange on either
+      side — the corpus text is rewritten exactly where it was read.
+
+    tests/test_runtime_plans.py asserts the executed plan scans the
+    corpus text with zero Exchange operators downstream of it; the
+    100x probe row lives in SCALING.md.  This is the layout a 100 TB
+    substring-dedup pass should run against: bucketing is paid once at
+    ingest, every span pass after it is shuffle-free on text."""
+    df = spark.table(corpus_table)
+    return clean_corpus(df, id_col, text_col, n)
 
 
 def decontaminate(

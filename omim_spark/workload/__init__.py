@@ -83,6 +83,9 @@ _VERIFY_FIRST = [
     "q_stream_curation",
     "q_stream_neardup_registry",
     "q_stream_substring_registry",
+    # NEW in round 7: the full-corpus rewrite through the bucketed
+    # (shuffle-free-on-text) scale path, under the oracle gate.
+    "q_substring_clean_corpus",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

@@ -307,6 +307,78 @@ def q_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_substring_clean_corpus",
+    oracle=f"""
+    WITH {_SPAN_CTE},
+    own AS (
+      SELECT s, MIN(doc_id) AS owner FROM sp
+      GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cover AS (
+      SELECT DISTINCT sp.doc_id, j AS p
+      FROM sp JOIN own USING (s),
+           UNNEST(GENERATE_SERIES(sp.pos, sp.pos + {SPAN_N - 1})) AS u(j)
+      WHERE own.owner <> sp.doc_id
+    ),
+    nc AS (SELECT doc_id FROM cover GROUP BY doc_id),
+    toks AS (
+      SELECT doc_id, j AS p, tk[j] AS tok
+      FROM d, UNNEST(GENERATE_SERIES(1, LEN(tk))) AS u(j)
+      WHERE LEN(tk) >= {SPAN_N}
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok FROM toks t
+      ANTI JOIN cover c ON t.doc_id = c.doc_id AND t.p = c.p
+    ),
+    reb AS (
+      SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT doc.doc_id,
+           CASE WHEN nc.doc_id IS NOT NULL
+                THEN COALESCE(reb.clean_text, '')
+                ELSE doc.text END AS text
+    FROM documents doc
+    LEFT JOIN nc ON nc.doc_id = doc.doc_id
+    LEFT JOIN reb ON reb.doc_id = doc.doc_id
+    ORDER BY doc.doc_id
+    """,
+)
+def q_substring_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus a substring-dedup pass ships, THROUGH THE
+    BUCKETED SCALE PATH: documents are landed bucketed by doc_id
+    (``operators.bucketing.write_bucketed`` — the layout decision a
+    100 TB ingest makes once), then
+    :func:`omim_spark.operators.dedup.clean_corpus_bucketed` rewrites
+    the affected documents with every text-carrying join side
+    shuffle-free by construction (tests/test_runtime_plans.py asserts
+    the executed plan: every Exchange carries only ids/positions/
+    hashes).  Row count and passthrough rows are preserved; owners
+    keep their copy; fully-excised exact duplicates become empty-text
+    tombstones.
+
+    The DuckDB oracle states the same semantics relationally over the
+    plain parquet table — the hash match proves the bucketed layout
+    changes the PLAN, not the answer."""
+    import hashlib
+
+    from omim_spark.operators.bucketing import write_bucketed
+    from omim_spark.operators.dedup import clean_corpus_bucketed
+
+    docs = table(spark, sf_dir, "documents")
+    tbl = "ccorpus_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    write_bucketed(docs, tbl, "doc_id", 8)
+    out = (
+        clean_corpus_bucketed(spark, tbl, n=SPAN_N)
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .localCheckpoint(eager=True)  # sever lineage before the DROP
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out
+
+
+@register(
     "q_decontaminate",
     oracle=f"""
     WITH {_SPAN_CTE},

@@ -20,6 +20,7 @@ def test_cli_builds_all_artifacts(spark, omim_data_dir, tmp_path):
             str(out),
             "--version-date",
             "2026-01-01",
+            "--use-cache",
         ]
     )
     ttl = out / "omim.ttl"
@@ -48,5 +49,78 @@ def test_cli_builds_all_artifacts(spark, omim_data_dir, tmp_path):
 def test_cli_deterministic_ttl(spark, omim_data_dir, tmp_path):
     a, b = tmp_path / "a", tmp_path / "b"
     for d in (a, b):
-        cli.main(["--data-dir", str(omim_data_dir), "--out-dir", str(d)])
+        cli.main(["--data-dir", str(omim_data_dir), "--out-dir", str(d), "-c"])
     assert (a / "omim.ttl").read_bytes() == (b / "omim.ttl").read_bytes()
+
+
+class TestCacheVsFetch:
+    """--use-cache parity (reference interfaces/cli.py:17-22): the
+    default run refreshes the OMIM sources through the injected
+    transport before building; -c/--use-cache builds from the landed
+    files without any transport call."""
+
+    def test_use_cache_never_touches_transport(self, spark, omim_data_dir, tmp_path):
+        calls = []
+        cli.main(
+            ["--data-dir", str(omim_data_dir), "--out-dir", str(tmp_path / "o"),
+             "--use-cache"],
+            transport=lambda url: calls.append(url) or "",
+        )
+        assert calls == []
+
+    def test_fetch_mode_refreshes_then_builds(self, spark, omim_data_dir, tmp_path):
+        """Offline-fake transport: serves each source file's current
+        fixture content (uppercased marker comment prepended so the
+        refresh is observable), then the build runs on the refreshed
+        landing zone."""
+        import shutil
+
+        from omim_spark.cli import SOURCE_FILES, download_url
+
+        data = tmp_path / "data"
+        shutil.copytree(omim_data_dir, data)
+        served = {}
+        for fname in SOURCE_FILES:
+            body = (data / fname).read_text()
+            served[download_url(fname, "KEY123")] = "# refreshed\n" + body
+
+        calls = []
+
+        def transport(url):
+            calls.append(url)
+            return served[url]
+
+        out = tmp_path / "out"
+        cli.main(
+            ["--data-dir", str(data), "--out-dir", str(out),
+             "--download-key", "KEY123"],
+            transport=transport,
+        )
+        # every source refreshed exactly once, through the reference's
+        # URL scheme (mim2gene via the static path)
+        assert len(calls) == len(SOURCE_FILES)
+        assert any("omim.org/static/omim/data/mim2gene.txt" in u for u in calls)
+        assert any("data.omim.org/downloads/KEY123/" in u for u in calls)
+        for fname in SOURCE_FILES:
+            assert (data / fname).read_text().startswith("# refreshed")
+        # and the build consumed the refreshed files
+        assert (out / "omim.ttl").is_file()
+
+    def test_html_error_page_rejected(self, tmp_path):
+        from omim_spark.cli import refresh_sources
+
+        import pytest
+
+        with pytest.raises(RuntimeError, match="Unexpected response"):
+            refresh_sources(
+                str(tmp_path),
+                lambda url: "<!DOCTYPE html>\n<html>bad key</html>",
+            )
+
+    def test_no_transport_fetch_mode_fails_loudly(self, omim_data_dir, tmp_path):
+        import pytest
+
+        with pytest.raises(RuntimeError, match="use-cache"):
+            cli.main(
+                ["--data-dir", str(omim_data_dir), "--out-dir", str(tmp_path / "o")]
+            )

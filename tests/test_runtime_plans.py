@@ -114,3 +114,74 @@ class TestRuntimeBloomFilter:
                 .count()
             )
             assert row.n == expected
+
+
+class TestBucketedCleanCorpus:
+    """clean_corpus_bucketed: on a doc_id-bucketed corpus the substring
+    excision rewrite is shuffle-free on TEXT by construction — every
+    Exchange in the executed plan moves only ids/positions/hashes.
+    This is the scale path for redundancy-heavy corpora, where the
+    plain clean_corpus left join degrades to shuffling the corpus text
+    (operators/dedup.py docstrings tell the same story)."""
+
+    def test_no_text_crosses_an_exchange(self, spark, tmp_path):
+        import re
+
+        from omim_spark.operators.bucketing import exchange_count, write_bucketed
+        from omim_spark.operators.dedup import clean_corpus, clean_corpus_bucketed
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        write_bucketed(docs, "docs_ccb", "doc_id", 8)
+        try:
+            with confs(
+                spark,
+                # force the fact×fact regime: at 100 TB neither side of
+                # the rewrite join broadcasts
+                spark__sql__autoBroadcastJoinThreshold="-1",
+                spark__sql__adaptive__autoBroadcastJoinThreshold="-1",
+            ):
+                out = clean_corpus_bucketed(spark, "docs_ccb")
+                rows = {r.doc_id: r.text for r in out.collect()}
+                # correctness: same rewrite as the plain operator
+                plain = {
+                    r.doc_id: r.text for r in clean_corpus(docs).collect()
+                }
+                assert rows == plain
+
+                # executed plan: count exchanges in the FINAL plan only
+                # (post-execution AQE plan strings repeat the initial
+                # plan below the final one)
+                executed = out._jdf.queryExecution().executedPlan().toString()
+                final = executed.split("== Initial Plan ==")[0]
+                keys = re.findall(
+                    r"Exchange hashpartitioning\((\w+)#", final
+                )
+                # every exchange keys on the span hash or the doc id —
+                # the long-only funnel columns (AQE partition
+                # coalescing may add a re-exchange on the same keys
+                # when bucket count != coalesced partition count, so
+                # the key SET is the invariant, not the count)
+                assert keys, final
+                assert set(keys) <= {"id", "h"}, keys
+                # and the corpus (full-schema) scan feeds the final
+                # rewrite join with no Exchange in between
+                assert re.search(
+                    r"SortMergeJoin \[doc_id#\d+L\], \[doc_id#\d+L\], LeftOuter",
+                    final,
+                ), final
+
+                mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+                plan = out._jdf.queryExecution().explainString(mode)
+                for m in re.finditer(
+                    r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+                ):
+                    cols = m.group(1)
+                    assert "text" not in cols, (
+                        f"corpus text crosses an Exchange: [{cols}]"
+                    )
+                # the corpus scans really use the bucketed layout
+                assert "Bucketed: true" in plan
+        finally:
+            spark.sql("DROP TABLE IF EXISTS docs_ccb")

@@ -162,6 +162,24 @@ def main() -> int:
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
+    def _clean_corpus_bucketed_probe(spark, sf_dir):
+        """Operator probe (not a registry query): the shuffle-free
+        corpus rewrite over a doc_id-bucketed layout.  The bucket
+        write happens OUTSIDE the timed region — the layout is paid
+        once at ingest, which is the point of the scale path."""
+        from omim_spark.operators.bucketing import write_bucketed
+        from omim_spark.operators.dedup import clean_corpus_bucketed
+
+        tbl = "probe_docs_bucketed"
+        write_bucketed(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), tbl, "doc_id", 32
+        )
+        return lambda s, d: clean_corpus_bucketed(s, tbl)
+
+    CUSTOM_PROBES = {
+        "op_clean_corpus_bucketed": _clean_corpus_bucketed_probe,
+    }
+
     probes = only or (
         [n for n, q in QUERIES.items() if q.headline] + EXTRA_PROBES
     )
@@ -171,6 +189,20 @@ def main() -> int:
     )
     rows = []
     for name in probes:
+        if name in CUSTOM_PROBES:
+            setup = CUSTOM_PROBES[name]
+            fn = setup(spark, BASE)
+            t1 = best_of_two(fn, BASE)
+            fn = setup(spark, str(scratch))
+            t10 = best_of_two(fn, str(scratch))
+            spark.sql("DROP TABLE IF EXISTS probe_docs_bucketed")
+            exp = math.log(t10 / t1) / math.log(replicas)
+            rows.append((name, t1, t10, t10 / t1, exp))
+            print(
+                f"{name:<28}{t1:>8.2f}{t10:>9.2f}{t10 / t1:>8.1f}{exp:>7.2f}",
+                flush=True,
+            )
+            continue
         fn = QUERIES[name].fn
         t1 = best_of_two(fn, BASE)
         t10 = best_of_two(fn, str(scratch))
