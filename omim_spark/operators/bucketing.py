@@ -23,6 +23,18 @@ def write_bucketed(
     bucket_col: str,
     n_buckets: int = 16,
 ) -> None:
+    spark = df.sparkSession
+    # A managed table's LOCATION can outlive its catalog entry (each
+    # local session starts a fresh metastore over the same warehouse
+    # dir); saveAsTable then fails with LOCATION_ALREADY_EXISTS even
+    # in overwrite mode.  Drop both the entry and any stale location.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme in ("", "file"):
+        shutil.rmtree(f"{wh.path}/{table_name.lower()}", ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)

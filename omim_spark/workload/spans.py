@@ -366,16 +366,17 @@ def q_substring_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from omim_spark.operators.dedup import clean_corpus_bucketed
 
     docs = table(spark, sf_dir, "documents")
+    # The bucketed table is the PERSISTENT layout this query is about
+    # (paid once at ingest, reused by every span pass) — it stays in
+    # the warehouse rather than being checkpoint-and-dropped, so the
+    # returned plan keeps its full lineage for .explain()/the audit.
     tbl = "ccorpus_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     write_bucketed(docs, tbl, "doc_id", 8)
-    out = (
+    return (
         clean_corpus_bucketed(spark, tbl, n=SPAN_N)
         .select("doc_id", "text")
         .orderBy("doc_id")
-        .localCheckpoint(eager=True)  # sever lineage before the DROP
     )
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    return out
 
 
 @register(

@@ -91,6 +91,16 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
         "forbid": ["CartesianProduct"],
     },
+    "q_substring_clean_corpus": {
+        # full-corpus rewrite through the bucketed layout: same
+        # row-local rewrite shape as the excise pass (Generate for the
+        # cut positions, no cartesian); the deeper no-text-shuffle
+        # invariant is asserted against the EXECUTED plan in
+        # tests/test_runtime_plans.py::TestBucketedCleanCorpus (the
+        # audit's static explain can't see AQE's final exchanges).
+        "require": ["Generate"],
+        "forbid": ["CartesianProduct"],
+    },
     "q_train_test_split": {
         # split decision is a scan-level expression: only 3 cols read
         "max_scan_cols": {"documents": 3},
