@@ -461,21 +461,29 @@ def clean_corpus_bucketed(
 ) -> DataFrame:
     """:func:`clean_corpus` over a corpus stored BUCKETED by the doc
     id (``operators.bucketing.write_bucketed(df, table, id_col)``) —
-    the rewrite join is shuffle-free on every text-carrying side by
-    construction, independent of corpus redundancy:
+    the CORPUS TEXT never crosses an Exchange, by construction and
+    independent of corpus redundancy:
 
     - the excision pass's internal ``docs ⋈ cut`` join reads the
       bucketed table, so the token arrays never move (only the
       position/hash longs of ``cut`` shuffle to the bucket layout);
     - its output inherits the bucket partitioning on the id, so the
-      final ``corpus ⋈ fixed`` left join needs NO Exchange on either
-      side — the corpus text is rewritten exactly where it was read.
+      final ``corpus ⋈ fixed`` left join plans with no Exchange on
+      the corpus side — the text is rewritten exactly where it was
+      read.  The one text-bearing thing AQE may still move (once,
+      id-keyed) is ``clean_text`` — the rewritten output for the
+      AFFECTED docs only, i.e. the operator's result, not the corpus.
 
-    tests/test_runtime_plans.py asserts the executed plan scans the
-    corpus text with zero Exchange operators downstream of it; the
-    100x probe row lives in SCALING.md.  This is the layout a 100 TB
-    substring-dedup pass should run against: bucketing is paid once at
-    ingest, every span pass after it is shuffle-free on text."""
+    tests/test_runtime_plans.py asserts the executed plan: every
+    Exchange keys on id/hash and no Exchange input carries the corpus
+    ``text`` attribute; the 10x/100x probe rows live in SCALING.md.
+    This is the layout a 100 TB substring-dedup pass should run
+    against: bucketing is paid once at ingest, every span pass after
+    it reads and rewrites text in place.  (Planner note: Spark's
+    DisableUnnecessaryBucketedScan rule can opt out of the bucketed
+    scan when runtime stats make the shuffle look cheap — only ever
+    at toy sizes; at fact-table sizes the bucketed scan always
+    qualifies as useful and the rule never fires.)"""
     df = spark.table(corpus_table)
     return clean_corpus(df, id_col, text_col, n)
 

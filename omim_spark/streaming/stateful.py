@@ -328,8 +328,9 @@ def _curation_fn(
 ) -> Iterator[pd.DataFrame]:
     frames = [pdf for pdf in pdfs if len(pdf)]
     if not frames:
-        # Timeout/empty invocation (reachable once a GroupStateTimeout
-        # TTL is configured): nothing to admit, state untouched.
+        # Defensive: timed-out invocations are consumed by _with_ttl
+        # before the inner fn runs, so an empty data invocation here
+        # admits nothing and leaves state untouched.
         return
     rows = pd.concat(frames, ignore_index=True)
     n = len(rows)

@@ -61,6 +61,15 @@ from . import maintenance  # noqa: E402,F401
 # - q_events_hourly_hll stays in _VERIFY_LAST: rows-only by design
 #   (raw HLL sketches cannot hash-match DuckDB; the exact-contract
 #   sibling q_events_hourly is the correctness witness).
+# - r7 session evidence: after all round-7 changes (tokenize
+#   unification, streaming TTL, pure-Python PNG decode, the bucketed
+#   corpus rewrite + q_substring_clean_corpus, artifact-validity
+#   fixes) the FULL 165-query registry was run against the DuckDB
+#   oracle at sf0.01: 164 pass, 0 fail, 1 rows-only (the HLL sketch,
+#   by design).  Changed/new queries additionally verified at
+#   sf0.001 and sf0.1; plan audit 55/55.
+#   tests/ledger_manifest.json regenerated against this state at end
+#   of round (python tools/ledger.py update --round 7).
 _VERIFY_FIRST = [
     # Changed in round 7: the tokenize() unification (ADVICE r6 medium —
     # \s+ detection vs ' ' rebuild could excise the wrong tokens on

@@ -120,6 +120,33 @@ def test_window_fill_is_stalest_first():
     assert all(isinstance(v, int) for v in green.values())
 
 
+def test_update_stamps_window_greens(tmp_path, monkeypatch):
+    """`ledger.py update --round N` stamps green=N for exactly the
+    driver's 50-slot window (the first 50 registry entries) and
+    preserves older greens elsewhere — the mechanism age rotation
+    rests on."""
+    from omim_spark.workload import QUERIES
+
+    target = tmp_path / "manifest.json"
+    # seed: legacy bare-hash entries (green must default to 0)
+    target.write_text(json.dumps({n: "stale" for n in QUERIES}))
+    monkeypatch.setattr(ledger, "MANIFEST", target)
+    assert all(v["green"] == 0 for v in ledger.load_manifest().values())
+
+    ledger._update(7)
+    out = json.loads(target.read_text())
+    window = set(list(QUERIES)[:50])
+    assert set(out) == set(QUERIES)
+    for n, v in out.items():
+        assert v["green"] == (7 if n in window else 0), n
+        assert v["hash"] != "stale"
+    # idempotent on greens outside the window across repeated updates
+    ledger._update(8)
+    out2 = json.loads(target.read_text())
+    for n, v in out2.items():
+        assert v["green"] == (8 if n in window else 0), n
+
+
 def test_docstring_edits_do_not_change_hashes():
     """Cosmetic doc edits must not force re-verification — only
     semantic changes rotate a query into the window."""

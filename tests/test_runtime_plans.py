@@ -139,6 +139,15 @@ class TestBucketedCleanCorpus:
                 # the rewrite join broadcasts
                 spark__sql__autoBroadcastJoinThreshold="-1",
                 spark__sql__adaptive__autoBroadcastJoinThreshold="-1",
+                # DisableUnnecessaryBucketedScan may opt OUT of the
+                # bucketed scan at toy sizes when AQE's runtime stats
+                # make the shuffle look cheap (session-state-dependent,
+                # observed flaky across full-suite runs) — pin it off
+                # so the test exercises the 100 TB regime, where the
+                # bucketed scan always wins and the rule never fires
+                spark__sql__sources__bucketing__autoBucketedScan__enabled=(
+                    "false"
+                ),
             ):
                 out = clean_corpus_bucketed(spark, "docs_ccb")
                 rows = {r.doc_id: r.text for r in out.collect()}
@@ -156,13 +165,14 @@ class TestBucketedCleanCorpus:
                 keys = re.findall(
                     r"Exchange hashpartitioning\((\w+)#", final
                 )
-                # every exchange keys on the span hash or the doc id —
-                # the long-only funnel columns (AQE partition
-                # coalescing may add a re-exchange on the same keys
-                # when bucket count != coalesced partition count, so
-                # the key SET is the invariant, not the count)
+                # every exchange keys on the span hash or a doc id —
+                # never on text.  (AQE may add re-exchanges on the
+                # same keys when bucket count != coalesced partition
+                # count, and may move the excision OUTPUT — affected
+                # docs' clean_text — once; both are id-keyed.  The key
+                # SET is the invariant, not the count.)
                 assert keys, final
-                assert set(keys) <= {"id", "h"}, keys
+                assert set(keys) <= {"id", "h", "doc_id"}, keys
                 # and the corpus (full-schema) scan feeds the final
                 # rewrite join with no Exchange in between
                 assert re.search(
@@ -174,11 +184,16 @@ class TestBucketedCleanCorpus:
                     "formatted"
                 )
                 plan = out._jdf.queryExecution().explainString(mode)
+                # THE invariant: the corpus `text` attribute never
+                # crosses an Exchange.  (`clean_text` — the excision
+                # output for affected docs — is the operator's result
+                # and AQE may legitimately move it once; \btext# does
+                # not match clean_text# since '_' is a word char.)
                 for m in re.finditer(
                     r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
                 ):
                     cols = m.group(1)
-                    assert "text" not in cols, (
+                    assert not re.search(r"\btext#", cols), (
                         f"corpus text crosses an Exchange: [{cols}]"
                     )
                 # the corpus scans really use the bucketed layout
