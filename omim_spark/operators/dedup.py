@@ -479,11 +479,24 @@ def clean_corpus_bucketed(
     ``text`` attribute; the 10x/100x probe rows live in SCALING.md.
     This is the layout a 100 TB substring-dedup pass should run
     against: bucketing is paid once at ingest, every span pass after
-    it reads and rewrites text in place.  (Planner note: Spark's
-    DisableUnnecessaryBucketedScan rule can opt out of the bucketed
-    scan when runtime stats make the shuffle look cheap — only ever
-    at toy sizes; at fact-table sizes the bucketed scan always
-    qualifies as useful and the rule never fires.)"""
+    it reads and rewrites text in place.
+
+    Deployment rules the no-corpus-shuffle property depends on:
+
+    - ``spark.sql.shuffle.partitions`` (or the AQE-coalesced count of
+      the non-bucketed side) must not EXCEED the bucket count —
+      EnsureRequirements co-partitions a mismatched join by
+      re-shuffling the side with fewer partitions, and if the fixed
+      side arrives wider than the table's buckets, the re-shuffled
+      side is the CORPUS.  Match them (the 100 TB layout wants large
+      bucket counts anyway) or set shuffle partitions ≤ n_buckets.
+    - DisableUnnecessaryBucketedScan can opt out of the bucketed scan
+      when runtime stats make the shuffle look cheap — only ever at
+      toy sizes; at fact-table sizes the rule never fires.
+
+    tests/test_runtime_plans.py pins both (shuffle.partitions ==
+    n_buckets, autoBucketedScan off) so the assertion exercises the
+    aligned deployment, and documents the failure mode."""
     df = spark.table(corpus_table)
     return clean_corpus(df, id_col, text_col, n)
 

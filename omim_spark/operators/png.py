@@ -13,10 +13,11 @@ per scanline.
 Scale: the codec runs inside mapInPandas workers on executor-local
 Arrow batches — per-image cost is the decode itself; nothing here
 touches the driver or adds a shuffle.  The unfilter loop is O(bytes)
-with Up/None vectorized; Sub/Average/Paeth carry a per-pixel data
-dependency on the left neighbor, so they run as a Python loop over the
-row — fine for feature-extraction thumbnails, and swappable for a C
-codec without touching the plan.
+with None/Up/Sub fully vectorized (Sub is a per-channel prefix sum mod
+256); Average/Paeth carry a true per-pixel dependency on the
+already-unfiltered left neighbor, so they run as a Python loop over
+the row — fine for feature-extraction thumbnails, and swappable for a
+C codec without touching the plan.
 """
 
 from __future__ import annotations
@@ -91,13 +92,20 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
             out[y] = line
         elif ftype == 2:  # Up (vectorized: no intra-row dependency)
             out[y] = line + prev  # uint8 wraps mod 256, as the spec says
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+        elif ftype == 1:  # Sub: per-channel prefix sum (vectorized)
+            cols = stride // bpp
+            out[y] = (
+                line.reshape(cols, bpp)
+                .astype(np.int64)
+                .cumsum(axis=0)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif ftype in (3, 4):  # Average / Paeth: left-dependent loop
             cur = out[y]
             for x in range(stride):
                 a = int(cur[x - bpp]) if x >= bpp else 0
-                if ftype == 1:
-                    v = line[x] + a
-                elif ftype == 3:
+                if ftype == 3:
                     v = line[x] + ((a + int(prev[x])) >> 1)
                 else:
                     c = int(prev[x - bpp]) if x >= bpp else 0

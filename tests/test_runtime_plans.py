@@ -148,6 +148,19 @@ class TestBucketedCleanCorpus:
                 spark__sql__sources__bucketing__autoBucketedScan__enabled=(
                     "false"
                 ),
+                # THE deployment rule this operator carries: align the
+                # shuffle partition count with the bucket count.  If
+                # the non-bucketed (fixed) side arrives with MORE
+                # partitions than the table has buckets,
+                # EnsureRequirements co-partitions by re-shuffling the
+                # BUCKETED side up — the full corpus schema crosses an
+                # Exchange and the whole point is lost.  (Observed in
+                # full-suite sessions where accumulated AQE state
+                # yielded >8-partition intermediates; a real cluster
+                # hits the same thing whenever shuffle.partitions >
+                # n_buckets.)
+                spark__sql__shuffle__partitions="8",
+                spark__sql__adaptive__coalescePartitions__enabled="false",
             ):
                 out = clean_corpus_bucketed(spark, "docs_ccb")
                 rows = {r.doc_id: r.text for r in out.collect()}
