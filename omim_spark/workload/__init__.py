@@ -63,13 +63,17 @@ from . import maintenance  # noqa: E402,F401
 #   sibling q_events_hourly is the correctness witness).
 # - r7 session evidence: after all round-7 changes (tokenize
 #   unification, streaming TTL, pure-Python PNG decode, the bucketed
-#   corpus rewrite + q_substring_clean_corpus, artifact-validity
-#   fixes) the FULL 165-query registry was run against the DuckDB
-#   oracle at sf0.01: 164 pass, 0 fail, 1 rows-only (the HLL sketch,
-#   by design).  Changed/new queries additionally verified at
-#   sf0.001 and sf0.1; plan audit 55/55.
+#   corpus rewrite + q_substring_clean_corpus, the resize/frame
+#   multimodal queries, artifact-validity fixes) the FULL 167-query
+#   registry was run against the DuckDB oracle at sf0.01: 166 pass,
+#   0 fail, 1 rows-only (the HLL sketch, by design).  Changed/new
+#   queries additionally verified at sf0.001 and sf0.1; plan audit
+#   57/57; pytest 412+ passed.
 #   tests/ledger_manifest.json regenerated against this state at end
-#   of round (python tools/ledger.py update --round 7).
+#   of round (python tools/ledger.py update --round 7); since r7 the
+#   manifest's _meta persists the stamped window so the driver
+#   verifies exactly the stamped 50 (stamping green=N would otherwise
+#   re-sort them out of the window).
 _VERIFY_FIRST = [
     # Changed in round 7: the tokenize() unification (ADVICE r6 medium —
     # \s+ detection vs ' ' rebuild could excise the wrong tokens on
@@ -95,6 +99,10 @@ _VERIFY_FIRST = [
     # NEW in round 7: the full-corpus rewrite through the bucketed
     # (shuffle-free-on-text) scale path, under the oracle gate.
     "q_substring_clean_corpus",
+    # NEW in round 7: the resize and frame-sampling multimodal kernels
+    # under the oracle gate (previously builder-tested only).
+    "q_multimodal_resize",
+    "q_multimodal_frames",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only
@@ -105,11 +113,7 @@ _VERIFY_LAST = [
 ]
 
 
-def _last_green_rounds() -> dict[str, int]:
-    """Each query's last driver-green round from the rotation-ledger
-    manifest (tests/ledger_manifest.json).  Unknown/new queries map to
-    0 so they sort first among the fill.  Missing manifest → empty
-    (fill degrades to registration order)."""
+def _manifest_raw() -> dict:
     import json
     from pathlib import Path
 
@@ -121,13 +125,36 @@ def _last_green_rounds() -> dict[str, int]:
     if not path.exists():
         return {}
     try:
-        raw = json.loads(path.read_text())
+        return json.loads(path.read_text())
     except (OSError, ValueError):
         return {}
+
+
+def _last_green_rounds() -> dict[str, int]:
+    """Each query's last driver-green round from the rotation-ledger
+    manifest (tests/ledger_manifest.json).  Unknown/new queries map to
+    0 so they sort first among the fill.  Missing manifest → empty
+    (fill degrades to registration order)."""
     return {
         n: (v.get("green", 0) if isinstance(v, dict) else 0)
-        for n, v in raw.items()
+        for n, v in _manifest_raw().items()
+        if not n.startswith("_")
     }
+
+
+def _stamped_window() -> list[str]:
+    """The persisted end-of-round window from the manifest's _meta —
+    valid ONLY while _VERIFY_FIRST is exactly the list it was stamped
+    under (the committed state the driver verifies).  Stamping
+    green=N moves the window's queries to the END of a staleness
+    sort, so without replaying the stored window the driver would
+    verify a different 50 than the manifest claims green for.  The
+    moment the next round's builder touches _VERIFY_FIRST, this
+    returns [] and the fill reverts to longest-unverified-first."""
+    meta = _manifest_raw().get("_meta", {})
+    if meta.get("verify_first") == list(_VERIFY_FIRST):
+        return [n for n in meta.get("window", []) if n in QUERIES]
+    return []
 
 
 def _reorder() -> None:
@@ -141,6 +168,9 @@ def _reorder() -> None:
             f"_VERIFY_FIRST/_VERIFY_LAST names not in QUERIES: {missing}"
         )
     ordered = {n: QUERIES[n] for n in _VERIFY_FIRST}
+    for n in _stamped_window():
+        if n not in ordered and n not in _VERIFY_LAST:
+            ordered[n] = QUERIES[n]
     # Age rotation (mechanical since r7): the window slots after
     # _VERIFY_FIRST go to the LONGEST-UNVERIFIED queries — ascending
     # last-green round from the ledger manifest, registration order as

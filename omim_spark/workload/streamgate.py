@@ -173,6 +173,133 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             16 + doc_id % 16 AS w,
+             8 + doc_id % 8 AS h,
+             text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    px AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(
+               GENERATE_SERIES(0, 31),
+               i -> UNICODE(SUBSTR(text,
+                 (((LEAST((i // 8) * h // 4, h - 1)) * w
+                   + LEAST((i % 8) * w // 8, w - 1)) % LENGTH(text)) + 1,
+                 1)))) AS luma
+      FROM media
+    )
+    SELECT doc_id AS media_id,
+           8 AS width, 4 AS height,
+           ROUND(AVG(luma), 6) AS mean_luma
+    FROM px GROUP BY doc_id ORDER BY media_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize kernel under the gate, real codec in the loop: the
+    same PNG-encoded tiled images as q_multimodal_features go through
+    ``resize_images`` (decode via the pure-Python PNG codec →
+    nearest-neighbor index resize to 8×4 → raw bytes back out), then
+    the stub decoder reads the raw resized bytes back for the feature
+    rollup.  The oracle replays the exact nearest-neighbor index
+    arithmetic (ys = y*h//4, xs = x*w//8, clipped) per pixel — the
+    hash match pins decode + resample + re-emit byte-for-byte.
+
+    Scale: two chained mapInPandas passes; pixels never leave the
+    executor, and the output is 32 bytes per media row before the
+    final shuffle."""
+    from ..operators.multimodal import resize_images
+    from ..operators.png import encode_png
+
+    @F.pandas_udf("binary")
+    def to_png(text: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        out = []
+        for t, wi, hi in zip(text, w, h):
+            buf = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            px = np.resize(buf, int(wi) * int(hi)).reshape(int(hi), int(wi))
+            out.append(encode_png(px))
+        return pd.Series(out)
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        to_png(
+            "text",
+            (16 + F.col("doc_id") % 16).cast("int"),
+            (8 + F.col("doc_id") % 8).cast("int"),
+        ).alias("payload"),
+        F.lit("png").alias("format"),
+        (16 + F.col("doc_id") % 16).cast("int").alias("width"),
+        (8 + F.col("doc_id") % 8).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    resized = resize_images(media, out_width=8, out_height=4, decoder="png")
+    feats = extract_image_features(resized, decoder="fake")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    ).orderBy("media_id")
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id, text,
+             (1 + doc_id % 5) AS n_frames,
+             GREATEST(LENGTH(text) // (1 + doc_id % 5), 1) AS step
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id AS media_id,
+           i AS frame_index,
+           LENGTH(SUBSTR(text, i * step + 1, step)) AS n_bytes,
+           MD5(SUBSTR(text, i * step + 1, step)) AS frame_md5
+    FROM vid, UNNEST(GENERATE_SERIES(0, n_frames - 1)) AS t(i)
+    ORDER BY media_id, frame_index
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling under the gate: each ``video`` row
+    (payload = the document's bytes, duration 1-5 s keyed off the doc
+    id) explodes into one row per sampled frame inside the Arrow
+    batch (``sample_video_frames``, 1 frame/s), emitting the frame's
+    byte slice.  The oracle replays the slice arithmetic
+    (step = len // n_frames, frame i = bytes [i*step, (i+1)*step))
+    with SUBSTR and matches the md5 of every frame payload — the
+    explode happens executor-side, so a 2-hour video never
+    materializes as one giant row downstream.
+
+    frame decode itself stays stubbed (no video codec libs in the
+    container — documented, not hidden); the sampling plumbing this
+    query pins is the real scale risk at 100 TB."""
+    from ..operators.multimodal import sample_video_frames
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("raw").alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((1 + F.col("doc_id") % 5) * 1000).cast("long").alias("duration_ms"),
+    )
+    frames = sample_video_frames(media, every_ms=1000)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.length("frame_png").alias("n_bytes"),
+        F.md5("frame_png").alias("frame_md5"),
+    ).orderBy("media_id", "frame_index")
+
+
 GAP_US = 30 * 60 * 1_000_000  # session gap (30 min) in microseconds
 
 

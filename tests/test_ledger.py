@@ -54,14 +54,17 @@ def test_manifest_covers_every_registered_query():
     is dead weight that hides renames; keep the key sets equal."""
     from omim_spark.workload import QUERIES
 
-    manifest = json.loads(ledger.MANIFEST.read_text())
-    missing = sorted(set(QUERIES) - set(manifest))
+    manifest = {
+        n for n in json.loads(ledger.MANIFEST.read_text())
+        if not n.startswith("_")  # _meta bookkeeping block
+    }
+    missing = sorted(set(QUERIES) - manifest)
     from omim_spark.workload import _VERIFY_FIRST
 
     # new queries may legitimately be absent mid-round IF windowed
     unwindowed_missing = [n for n in missing if n not in _VERIFY_FIRST]
     assert not unwindowed_missing
-    stale = sorted(set(manifest) - set(QUERIES))
+    stale = sorted(manifest - set(QUERIES))
     assert not stale, f"manifest entries for unregistered queries: {stale}"
 
 
@@ -102,19 +105,39 @@ def test_window_fill_is_stalest_first():
     """Age rotation (r7): after _VERIFY_FIRST, the registry order —
     and therefore the driver's 50-slot window fill — must be ascending
     last-green round, so long-unverified queries re-earn driver rows
-    instead of resting on rounds-old greens."""
+    instead of resting on rounds-old greens.
+
+    In the STAMPED end-of-round state (the manifest's _meta carries
+    the exact current _VERIFY_FIRST), the persisted window is replayed
+    first instead: stamping green=N sorts the window's queries last,
+    so without the replay the driver would verify a different 50 than
+    the manifest claims green for.  The first 50 must then equal the
+    stored window exactly, and staleness ordering must hold for the
+    remainder."""
     from omim_spark.workload import QUERIES, _VERIFY_FIRST, _VERIFY_LAST
-    from omim_spark.workload import _last_green_rounds
+    from omim_spark.workload import _last_green_rounds, _stamped_window
 
     green = _last_green_rounds()
     assert green, "ledger manifest missing or empty"
-    rest = [
-        n for n in QUERIES if n not in _VERIFY_FIRST and n not in _VERIFY_LAST
-    ]
+    stamped = _stamped_window()
+    if stamped:
+        # committed end-of-round state: driver window == stamped set
+        assert list(QUERIES)[: len(stamped)] == stamped
+        rest = [
+            n
+            for n in QUERIES
+            if n not in stamped and n not in _VERIFY_LAST
+        ]
+    else:
+        rest = [
+            n
+            for n in QUERIES
+            if n not in _VERIFY_FIRST and n not in _VERIFY_LAST
+        ]
     greens = [green.get(n, 0) for n in rest]
     assert greens == sorted(greens), (
-        "registry fill after _VERIFY_FIRST is not ascending last-green "
-        "round — age rotation broken"
+        "registry fill is not ascending last-green round — age "
+        "rotation broken"
     )
     # the manifest carries a real green round for every known query
     assert all(isinstance(v, int) for v in green.values())
@@ -135,16 +158,25 @@ def test_update_stamps_window_greens(tmp_path, monkeypatch):
 
     ledger._update(7)
     out = json.loads(target.read_text())
-    window = set(list(QUERIES)[:50])
-    assert set(out) == set(QUERIES)
-    for n, v in out.items():
-        assert v["green"] == (7 if n in window else 0), n
+    window = out["_meta"]["window"]
+    assert window == list(QUERIES)[:50]
+    entries = {n: v for n, v in out.items() if not n.startswith("_")}
+    assert set(entries) == set(QUERIES)
+    for n, v in entries.items():
+        assert v["green"] == (7 if n in set(window) else 0), n
         assert v["hash"] != "stale"
+    # the stored window + verify_first make the stamp replayable
+    from omim_spark.workload import _VERIFY_FIRST
+
+    assert out["_meta"]["round"] == 7
+    assert out["_meta"]["verify_first"] == list(_VERIFY_FIRST)
     # idempotent on greens outside the window across repeated updates
     ledger._update(8)
     out2 = json.loads(target.read_text())
     for n, v in out2.items():
-        assert v["green"] == (8 if n in window else 0), n
+        if n.startswith("_"):
+            continue
+        assert v["green"] == (8 if n in set(window) else 0), n
 
 
 def test_docstring_edits_do_not_change_hashes():

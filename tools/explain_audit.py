@@ -91,6 +91,21 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
         "forbid": ["CartesianProduct"],
     },
+    "q_multimodal_resize": {
+        # two chained Arrow passes (encode UDF + resize/feature
+        # mapInPandas); pixels stay executor-side — 2-col scan, no
+        # join at all
+        "require": ["MapInPandas"],
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
+    "q_multimodal_frames": {
+        # the frame explode happens INSIDE the Arrow batch
+        # (mapInPandas), never as a row-level Generate over frames
+        "require": ["MapInPandas"],
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "q_substring_clean_corpus": {
         # full-corpus rewrite through the bucketed layout: same
         # row-local rewrite shape as the excise pass (Generate for the

@@ -249,14 +249,26 @@ def semantic_hashes() -> dict[str, str]:
 
 def load_manifest() -> dict[str, dict]:
     """{name: {"hash": ..., "green": N}}; legacy bare-hash entries
-    (pre-r7 format) load with green=0 so they sort oldest."""
+    (pre-r7 format) load with green=0 so they sort oldest.  The
+    ``_meta`` bookkeeping block (round / verify_first / window) is
+    excluded — read it via :func:`load_meta`."""
     if not MANIFEST.exists():
         return {}
     raw = json.loads(MANIFEST.read_text())
     return {
         n: (v if isinstance(v, dict) else {"hash": v, "green": 0})
         for n, v in raw.items()
+        if not n.startswith("_")
     }
+
+
+def load_meta() -> dict:
+    """The manifest's ``_meta`` block: {"round": N, "verify_first":
+    [...], "window": [...]} as of the last ``update`` — empty dict if
+    absent (pre-stamp manifests)."""
+    if not MANIFEST.exists():
+        return {}
+    return json.loads(MANIFEST.read_text()).get("_meta", {})
 
 
 def changed_queries() -> list[str]:
@@ -275,17 +287,33 @@ def _update(round_no: int) -> None:
     stamped to ``round_no`` for the queries inside the driver's
     50-slot window (the first 50 registry entries — exactly what the
     driver will verify against this committed state), preserved for
-    the rest."""
-    from omim_spark.workload import QUERIES
+    the rest.
+
+    The window itself is PERSISTED in ``_meta`` (with the
+    _VERIFY_FIRST list it was computed under): stamping green=N moves
+    those queries to the END of a pure staleness sort, so without the
+    stored window the committed registry order would no longer put
+    the stamped set first and the driver would verify a different 50
+    than the manifest claims.  workload._reorder replays the stored
+    window while _VERIFY_FIRST is unchanged (the committed
+    end-of-round state the driver sees) and falls back to staleness
+    fill as soon as the next round's builder touches the list."""
+    from omim_spark.workload import QUERIES, _VERIFY_FIRST
 
     old = load_manifest()
-    window = set(list(QUERIES)[:50])
-    manifest = {
+    window = list(QUERIES)[:50]
+    wset = set(window)
+    manifest: dict = {
         n: {
             "hash": h,
-            "green": round_no if n in window else old.get(n, {}).get("green", 0),
+            "green": round_no if n in wset else old.get(n, {}).get("green", 0),
         }
         for n, h in semantic_hashes().items()
+    }
+    manifest["_meta"] = {
+        "round": round_no,
+        "verify_first": list(_VERIFY_FIRST),
+        "window": window,
     }
     MANIFEST.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
     print(f"wrote {MANIFEST} (window of {len(window)} stamped green={round_no})")
