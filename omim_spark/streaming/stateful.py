@@ -61,7 +61,8 @@ def _with_ttl(fn, ttl_ms: int | None):
             state.remove()
             return
         out = list(fn(key, pdfs, state))
-        state.setTimeoutDuration(ttl_ms)
+        if state.exists:  # a timeout cannot be armed on undefined state
+            state.setTimeoutDuration(ttl_ms)
         yield from out
 
     return wrapped, GroupStateTimeout.ProcessingTimeTimeout
