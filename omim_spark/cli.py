@@ -58,13 +58,36 @@ def refresh_sources(
     """The reference's download step (omim_txt_parser.py:224-246):
     GET each source text, reject an HTML response (OMIM serves an
     HTML error page with HTTP 200 on bad download keys), land it in
-    ``data_dir``."""
+    ``data_dir``.
+
+    All-or-nothing (hardened vs the reference, which writes each file
+    before the next fetch): every download is staged and validated
+    first, then the set moves into ``data_dir`` together — a transport
+    failure or HTML error page mid-sequence can no longer leave the
+    landing dir holding a mix of two OMIM versions that a subsequent
+    ``-c`` build would silently consume."""
+    staged: list[tuple[str, str]] = []
     for fname in files:
         text = transport(download_url(fname, download_key))
         if text.startswith("<!DOCTYPE html>"):
             raise RuntimeError("Unexpected response: " + text[:200])
-        with open(os.path.join(data_dir, fname), "w") as f:
-            f.write(text)
+        staged.append((fname, text))
+    import tempfile
+
+    os.makedirs(data_dir, exist_ok=True)
+    for fname, text in staged:
+        # stage on the destination filesystem so replace() is atomic
+        fd, tmp = tempfile.mkstemp(prefix=f".{fname}.", dir=data_dir)
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(text)
+            os.replace(tmp, os.path.join(data_dir, fname))
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
 
 def _no_network_transport(url: str) -> str:

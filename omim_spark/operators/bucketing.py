@@ -24,6 +24,17 @@ def write_bucketed(
     n_buckets: int = 16,
 ) -> None:
     spark = df.sparkSession
+    # Only bare table identifiers: the stale-location cleanup below
+    # derives the managed location as <warehouse>/<name> by string
+    # concatenation, which is wrong for qualified names (db.tbl lives
+    # under <warehouse>/<db>.db/<tbl>) — deleting a guessed path
+    # outside Spark's control is how warehouses get corrupted.
+    if not table_name.replace("_", "").isalnum():
+        raise ValueError(
+            f"write_bucketed requires a bare table identifier, got "
+            f"{table_name!r} (qualified/special names would make the "
+            "stale-location cleanup guess a wrong warehouse path)"
+        )
     # A managed table's LOCATION can outlive its catalog entry (each
     # local session starts a fresh metastore over the same warehouse
     # dir); saveAsTable then fails with LOCATION_ALREADY_EXISTS even

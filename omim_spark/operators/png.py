@@ -180,3 +180,42 @@ def luma(px: np.ndarray) -> np.ndarray:
     return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
         np.uint8
     )
+
+
+def split_png_concat(data: bytes) -> list[bytes]:
+    """Split a concatenated-PNG stream (the synthetic video container:
+    frame k's complete PNG followed immediately by frame k+1's) into
+    the individual PNG byte strings, by walking each image's chunk
+    list to its IEND.  Raises ValueError on anything that is not a
+    clean concatenation — a corrupt container must fail loudly, not
+    yield a garbage frame."""
+    data = bytes(data)
+    frames: list[bytes] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + len(_SIGNATURE)] != _SIGNATURE:
+            raise ValueError(
+                f"png-concat: bad signature at offset {pos} "
+                f"(frame {len(frames)})"
+            )
+        start = pos
+        pos += len(_SIGNATURE)
+        while True:
+            if pos + 8 > n:
+                raise ValueError(
+                    f"png-concat: truncated chunk header in frame "
+                    f"{len(frames)}"
+                )
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            tag = data[pos + 4 : pos + 8]
+            pos += 12 + length  # length + tag + body + crc
+            if pos > n:
+                raise ValueError(
+                    f"png-concat: truncated {tag!r} chunk in frame "
+                    f"{len(frames)}"
+                )
+            if tag == b"IEND":
+                break
+        frames.append(data[start:pos])
+    return frames

@@ -117,6 +117,36 @@ class TestCacheVsFetch:
                 lambda url: "<!DOCTYPE html>\n<html>bad key</html>",
             )
 
+    def test_mid_sequence_failure_leaves_data_dir_untouched(self, tmp_path):
+        """All-or-nothing refresh: a transport failure (or HTML error
+        page) on file 3 of 5 must not leave files 1-2 already
+        overwritten — a later `-c` build would silently consume a mix
+        of two OMIM versions."""
+        from omim_spark.cli import SOURCE_FILES, refresh_sources
+
+        import pytest
+
+        for fname in SOURCE_FILES:
+            (tmp_path / fname).write_text("# old version\n")
+
+        fetched = []
+
+        def flaky(url: str) -> str:
+            fetched.append(url)
+            if len(fetched) == 3:
+                raise ConnectionError("mid-sequence transport drop")
+            return "# new version\n"
+
+        with pytest.raises(ConnectionError):
+            refresh_sources(str(tmp_path), flaky)
+        # nothing moved: every landed file still the old version, and
+        # no stray staging temp files left behind
+        for fname in SOURCE_FILES:
+            assert (tmp_path / fname).read_text() == "# old version\n"
+        assert sorted(p.name for p in tmp_path.iterdir()) == sorted(
+            SOURCE_FILES
+        )
+
     def test_no_transport_fetch_mode_fails_loudly(self, omim_data_dir, tmp_path):
         import pytest
 

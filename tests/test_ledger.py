@@ -145,10 +145,10 @@ def test_window_fill_is_stalest_first():
 
 def test_update_stamps_window_greens(tmp_path, monkeypatch):
     """`ledger.py update --round N` stamps green=N for exactly the
-    driver's 50-slot window (the first 50 registry entries) and
-    preserves older greens elsewhere — the mechanism age rotation
-    rests on."""
-    from omim_spark.workload import QUERIES
+    window it computes (_VERIFY_FIRST + the stalest fill, from the
+    PRE-update manifest greens) and preserves older greens elsewhere —
+    the mechanism age rotation rests on."""
+    from omim_spark.workload import QUERIES, _VERIFY_FIRST, _VERIFY_LAST
 
     target = tmp_path / "manifest.json"
     # seed: legacy bare-hash entries (green must default to 0)
@@ -159,24 +159,53 @@ def test_update_stamps_window_greens(tmp_path, monkeypatch):
     ledger._update(7)
     out = json.loads(target.read_text())
     window = out["_meta"]["window"]
-    assert window == list(QUERIES)[:50]
+    assert len(window) == min(50, len(QUERIES))
+    assert window[: len(_VERIFY_FIRST)] == list(_VERIFY_FIRST)
+    assert not set(window) & set(_VERIFY_LAST)
     entries = {n: v for n, v in out.items() if not n.startswith("_")}
     assert set(entries) == set(QUERIES)
     for n, v in entries.items():
         assert v["green"] == (7 if n in set(window) else 0), n
         assert v["hash"] != "stale"
     # the stored window + verify_first make the stamp replayable
-    from omim_spark.workload import _VERIFY_FIRST
-
     assert out["_meta"]["round"] == 7
     assert out["_meta"]["verify_first"] == list(_VERIFY_FIRST)
-    # idempotent on greens outside the window across repeated updates
+
+
+def test_update_rotates_window_even_without_verify_first_change(
+    tmp_path, monkeypatch
+):
+    """Liveness (r7 ADVICE): if a round ends WITHOUT touching
+    _VERIFY_FIRST, the next `update` must still hand the window's free
+    slots to the longest-unverified queries — not replay the previous
+    round's stamped window (which would re-stamp the same 50 forever
+    and starve the tail)."""
+    from omim_spark.workload import QUERIES, _VERIFY_FIRST, _VERIFY_LAST
+
+    target = tmp_path / "manifest.json"
+    target.write_text(json.dumps({n: "stale" for n in QUERIES}))
+    monkeypatch.setattr(ledger, "MANIFEST", target)
+
+    ledger._update(7)
+    w7 = set(json.loads(target.read_text())["_meta"]["window"])
+    # second update, same _VERIFY_FIRST: the fill slots must rotate to
+    # the green=0 tail that w7 left unstamped
     ledger._update(8)
-    out2 = json.loads(target.read_text())
-    for n, v in out2.items():
+    out = json.loads(target.read_text())
+    w8 = out["_meta"]["window"]
+    assert w8[: len(_VERIFY_FIRST)] == list(_VERIFY_FIRST)
+    fill8 = [n for n in w8 if n not in _VERIFY_FIRST]
+    unstamped_after_7 = set(QUERIES) - w7 - set(_VERIFY_LAST)
+    # every fill slot goes to a query w7 did NOT stamp (green=0 sorts
+    # before green=7), as long as enough unstamped queries exist
+    expected = min(len(fill8), len(unstamped_after_7))
+    assert sum(n in unstamped_after_7 for n in fill8) == expected
+    for n, v in out.items():
         if n.startswith("_"):
             continue
-        assert v["green"] == (8 if n in set(window) else 0), n
+        assert v["green"] == (
+            8 if n in set(w8) else (7 if n in w7 else 0)
+        ), n
 
 
 def test_docstring_edits_do_not_change_hashes():

@@ -190,7 +190,77 @@ class TestMultimodal:
         frames = multimodal.sample_video_frames(media, every_ms=1000).collect()
         assert len(frames) == 3  # 3000ms / 1000ms
         assert all(f.media_id == 3 for f in frames)
-        assert all(len(f.frame_png) > 0 for f in frames)
+        assert all(len(f.frame_bytes) > 0 for f in frames)
+
+    def test_frame_sampling_short_payload_emits_empty_slices(self, spark):
+        """A payload shorter than the frame count yields EMPTY slices,
+        emitted as-is (r7 ADVICE: the old b'\\x00' substitute silently
+        diverged from byte-arithmetic oracles on degenerate inputs)."""
+        media = spark.createDataFrame(
+            [(9, "video", b"abc", "raw", None, None, 5000)],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+        frames = sorted(
+            multimodal.sample_video_frames(media, every_ms=1000).collect(),
+            key=lambda f: f.frame_index,
+        )
+        assert [bytes(f.frame_bytes) for f in frames] == [
+            b"a", b"b", b"c", b"", b"",
+        ]
+
+    def test_frame_sampling_png_concat_yields_real_frames(self, spark):
+        """container='png-concat': the payload is a concatenation of
+        complete PNGs; every sampled frame must round-trip through the
+        real codec to its exact source pixels."""
+        import numpy as np
+
+        from omim_spark.operators.png import decode_png, encode_png
+
+        mats = [
+            np.full((4, 8), v, dtype=np.uint8) for v in (10, 20, 30)
+        ]
+        payload = b"".join(encode_png(m) for m in mats)
+        media = spark.createDataFrame(
+            [(7, "video", bytearray(payload), "png-concat", 8, 4, 3000)],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+        frames = sorted(
+            multimodal.sample_video_frames(
+                media, every_ms=1000, container="png-concat"
+            ).collect(),
+            key=lambda f: f.frame_index,
+        )
+        assert len(frames) == 3
+        for f, src in zip(frames, mats):
+            assert (decode_png(bytes(f.frame_bytes)) == src).all()
+
+    def test_audio_features_wav_roundtrip(self, spark):
+        """decoder='wav' is a real codec: encode int16 PCM with the
+        stdlib writer, decode through extract_audio_features, and the
+        integer features must match exact arithmetic."""
+        import numpy as np
+
+        from omim_spark.operators.wav import encode_wav
+
+        s = np.array([0, 100, -200, 32767, -32768, 5], dtype=np.int16)
+        media = spark.createDataFrame(
+            [(11, "audio", bytearray(encode_wav(s, 8000)), "wav",
+              None, None, None),
+             (12, "audio", None, "wav", None, None, None)],
+            schema=multimodal.MEDIA_SCHEMA,
+        )
+        out = {
+            r.media_id: r
+            for r in multimodal.extract_audio_features(media).collect()
+        }
+        r = out[11]
+        assert r.sample_rate == 8000 and r.n_samples == 6
+        assert r.duration_ms == 6 * 1000 // 8000
+        assert r.peak == 32768  # |INT16_MIN| must not wrap
+        expect_sq = sum(int(x) ** 2 for x in s)
+        assert r.sum_sq == expect_sq
+        assert abs(r.rms - round((expect_sq / 6) ** 0.5, 6)) < 1e-9
+        assert out[12].n_samples is None  # null payload propagates
 
     def test_media_stats(self, media):
         stats = {(r.modality, r.format): r.n for r in multimodal.media_stats(media).collect()}
@@ -860,3 +930,55 @@ class TestBloomNullKeys:
         kept = {r.k for r in bloom_prune(p, b, "k", "k").collect()}
         assert {1, 3} <= kept  # true members survive
         assert None not in kept  # NULL never equi-joins -> pruned
+
+
+class TestMultimodalDegenerateOracleAgreement:
+    """r7 ADVICE: Spark and the DuckDB oracle must agree on degenerate
+    video payloads (text shorter than the frame count — empty slices).
+    The sf fixtures never exercise this, so pin it on a hand-built
+    documents table run through BOTH engines."""
+
+    def test_frames_query_matches_oracle_on_short_payloads(
+        self, spark, tmp_path
+    ):
+        import duckdb
+        import pandas as pd
+
+        from omim_spark.workload import QUERIES
+
+        rows = [
+            # doc_id % 7 == 0 so all are selected
+            (7, "The quick brown fox jumps over the lazy dog."),  # normal
+            (14, "abc"),    # n_frames = 1+14%5 = 5 > len 3 → 3 frames
+            (21, "x"),      # n_frames = 2 → 1 frame
+            (28, ""),       # empty text → no frames at all
+            (35, "hello"),  # n_frames = 1 → 1 frame of the whole text
+        ]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": "en",
+                "source": "fixture",
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        )
+        pdf.to_parquet(tmp_path / "documents.parquet")
+
+        qd = QUERIES["q_multimodal_frames"]
+        got = [
+            (r.media_id, r.frame_index, r.n_px, r.pixel_md5)
+            for r in qd.fn(spark, str(tmp_path)).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path / 'documents.parquet'}'"
+        )
+        want = [tuple(r) for r in con.execute(qd.oracle).fetchall()]
+        assert got == want
+        # sanity on the degenerate shapes themselves
+        per_doc = {}
+        for mid, *_ in got:
+            per_doc[mid] = per_doc.get(mid, 0) + 1
+        assert per_doc == {7: 3, 14: 3, 21: 1, 35: 1}

@@ -298,10 +298,26 @@ def _update(round_no: int) -> None:
     window while _VERIFY_FIRST is unchanged (the committed
     end-of-round state the driver sees) and falls back to staleness
     fill as soon as the next round's builder touches the list."""
-    from omim_spark.workload import QUERIES, _VERIFY_FIRST
+    from omim_spark.workload import QUERIES, _VERIFY_FIRST, _VERIFY_LAST
 
     old = load_manifest()
-    window = list(QUERIES)[:50]
+    # Liveness (r7 ADVICE): compute the stamped window from the
+    # PRE-UPDATE staleness sort, NOT from the current registry order.
+    # The registry replays the previous round's _meta.window while
+    # _VERIFY_FIRST is unchanged, so `list(QUERIES)[:50]` here would
+    # re-stamp the same 50 forever in a round that never touched the
+    # list — the longest-unverified tail would never rotate in.
+    front = [n for n in _VERIFY_FIRST if n in QUERIES]
+    pos = {n: i for i, n in enumerate(QUERIES)}
+    rest = sorted(
+        (
+            n
+            for n in QUERIES
+            if n not in set(front) and n not in _VERIFY_LAST
+        ),
+        key=lambda n: (old.get(n, {}).get("green", 0), pos[n]),
+    )
+    window = (front + rest)[:50]
     wset = set(window)
     manifest: dict = {
         n: {
