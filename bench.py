@@ -52,23 +52,47 @@ def main() -> None:
         if qd.headline:
             qd.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # Fixed calibration job, MEASURED: a data-independent JVM-side
-    # aggregation whose cost is constant across rounds, so a loaded
-    # machine is detectable from the artifact itself (BENCH_r06 shipped
-    # a 2x total that was pure machine contention and the JSON carried
-    # no way to prove it).  Reported as the min/mean of 5 runs next to
-    # os.getloadavg() before and after the timed section; compare the
-    # calibration min round-over-round before reading anything into
-    # the query walls.
-    def _calibrate() -> dict[str, float]:
-        runs = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            spark.range(100_000_000).selectExpr("sum(id * 3 + 1)").collect()
-            runs.append(time.perf_counter() - t0)
+    # Fixed calibration jobs, MEASURED: data-independent work whose
+    # cost is constant across rounds, so a loaded machine is detectable
+    # from the artifact itself (BENCH_r06 shipped a 2x total that was
+    # pure machine contention and the JSON carried no way to prove it).
+    # TWO probes since r8, because contention is not one-dimensional
+    # (r7: the CPU probe read near-floor while the two shuffle-heavy
+    # dedup queries inflated 1.8-2.8x — memory-bandwidth/shuffle
+    # pressure was invisible to a single-stage codegen loop):
+    #   cpu     — single-stage whole-stage-codegen aggregation; moves
+    #             no data, detects core contention / frequency drops.
+    #   shuffle — hash repartition into 64 partitions then aggregate;
+    #             a real Exchange (serialize, spill files, fetch),
+    #             detects memory-bandwidth and disk/page-cache
+    #             contention the CPU probe can't see.
+    # Reported as min/mean of 5 runs next to os.getloadavg() before and
+    # after the timed section; compare each probe's min round-over-round
+    # before reading anything into the query walls.
+    def _calibrate() -> dict[str, dict[str, float]]:
+        def probe(fn) -> dict[str, float]:
+            runs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fn()
+                runs.append(time.perf_counter() - t0)
+            return {
+                "min": round(min(runs), 3),
+                "mean": round(sum(runs) / len(runs), 3),
+            }
+
         return {
-            "min": round(min(runs), 3),
-            "mean": round(sum(runs) / len(runs), 3),
+            "cpu": probe(
+                lambda: spark.range(100_000_000)
+                .selectExpr("sum(id * 3 + 1)")
+                .collect()
+            ),
+            "shuffle": probe(
+                lambda: spark.range(20_000_000)
+                .repartition(64, "id")
+                .selectExpr("sum(id * 3 + 1)")
+                .collect()
+            ),
         }
 
     load_before = os.getloadavg()
@@ -116,7 +140,13 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "calibration": {
-                    "job": "spark.range(1e8).sum(id*3+1), min/mean of 5",
+                    "jobs": {
+                        "cpu": "spark.range(1e8).sum(id*3+1), min/mean of 5",
+                        "shuffle": (
+                            "spark.range(2e7).repartition(64,id)"
+                            ".sum(id*3+1), min/mean of 5"
+                        ),
+                    },
                     "before": calib_before,
                     "after": calib_after,
                     "loadavg_before": [round(x, 2) for x in load_before],

@@ -308,6 +308,7 @@ def q_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_substring_clean_corpus",
+    headline=True,  # r8: the excision tier's 100 TB path gets wall tracking
     oracle=f"""
     WITH {_SPAN_CTE},
     own AS (
