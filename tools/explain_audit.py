@@ -106,6 +106,13 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    "q_multimodal_audio": {
+        # encode pandas-UDF + wav-decode mapInPandas: clip bytes stay
+        # executor-side in Arrow batches; 2-col scan, no join at all
+        "require": ["MapInPandas"],
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "q_substring_clean_corpus": {
         # full-corpus rewrite through the bucketed layout: same
         # row-local rewrite shape as the excise pass (Generate for the
