@@ -95,6 +95,23 @@ def main() -> None:
             ),
         }
 
+    # Settle gate: the driver runs bench right after heavy
+    # verification work, and BENCH_r07's contamination was visibly
+    # DRAINING load (loadavg 4.91 before → 2.16 after) — the timed
+    # region started while someone else's work was still finishing.
+    # Wait (bounded) for the 1-minute loadavg to fall to a level where
+    # the calibration probes can read clean, and record how long we
+    # waited so the artifact shows whether the gate engaged.
+    settle_limit = float(os.environ.get("SPARK_GRAFT_SETTLE_S", "90"))
+    settle_bar = float(os.environ.get("SPARK_GRAFT_SETTLE_LOAD", "2.0"))
+    t_settle = time.perf_counter()
+    while (
+        os.getloadavg()[0] > settle_bar
+        and time.perf_counter() - t_settle < settle_limit
+    ):
+        time.sleep(2.0)
+    settle_wait = round(time.perf_counter() - t_settle, 1)
+
     load_before = os.getloadavg()
     calib_before = _calibrate()
 
@@ -149,6 +166,7 @@ def main() -> None:
                     },
                     "before": calib_before,
                     "after": calib_after,
+                    "settle_wait_s": settle_wait,
                     "loadavg_before": [round(x, 2) for x in load_before],
                     "loadavg_after": [round(x, 2) for x in load_after],
                 },

@@ -71,3 +71,58 @@ def test_truncated_data_raises():
     wav = encode_wav(np.arange(100, dtype=np.int16), 8000)
     with pytest.raises(ValueError):
         decode_wav(wav[:-10])
+
+
+class TestCodecProperties:
+    """Property tests: the codecs must round-trip EVERY input in their
+    declared domain, not just the fixtures."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=400,
+        ),
+        rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_wav_roundtrip_any_mono_signal(self, samples, rate):
+        s = np.array(samples, dtype=np.int16)
+        out, r, ch = decode_wav(encode_wav(s, rate))
+        assert r == rate and ch == 1
+        assert out.dtype == np.int16
+        assert list(out) == samples
+
+    @given(
+        frames=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=12),  # h
+                st.integers(min_value=1, max_value=12),  # w
+                st.integers(min_value=0, max_value=255),  # seed byte
+            ),
+            min_size=0,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_png_concat_split_any_frame_sequence(self, frames):
+        from omim_spark.operators.png import (
+            decode_png,
+            encode_png,
+            split_png_concat,
+        )
+
+        mats = [
+            ((np.arange(h * w) * 7 + seed) % 256)
+            .astype(np.uint8)
+            .reshape(h, w)
+            for h, w, seed in frames
+        ]
+        blob = b"".join(encode_png(m) for m in mats)
+        parts = split_png_concat(blob)
+        assert len(parts) == len(mats)
+        for p, m in zip(parts, mats):
+            assert (decode_png(p) == m).all()
