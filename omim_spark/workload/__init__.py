@@ -81,6 +81,9 @@ _VERIFY_FIRST = [
     # the qualified-name guard before its warehouse-path cleanup
     # (r7 ADVICE); plan and semantics unchanged.
     "q_substring_clean_corpus",
+    # NEW in round 8: media_stats (the one multimodal operator without
+    # a driver row) under the gate — pure-expression metadata rollup.
+    "q_multimodal_stats",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

@@ -445,6 +445,89 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+@register(
+    "q_multimodal_stats",
+    oracle="""
+    WITH m AS (
+      SELECT 'image' AS modality, 'png' AS format,
+             STRLEN(text) AS n_bytes, NULL::BIGINT AS duration_ms
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'audio', 'wav', STRLEN(text),
+             CAST((160 + (doc_id % 5) * 80) // 8 AS BIGINT)
+      FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'video', 'raw', STRLEN(text),
+             CAST(LEAST(1 + doc_id % 5, LENGTH(text)) * 1000 AS BIGINT)
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT modality, format,
+           COUNT(*) AS n,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           AVG(duration_ms) AS avg_duration_ms
+    FROM m
+    GROUP BY modality, format
+    ORDER BY modality, format
+    """,
+)
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``media_stats`` under the gate (r8 — the one multimodal operator
+    that had no driver row): the metadata rollup that a 100 TB media
+    lake runs constantly — count / payload bytes / average duration
+    per modality×format — as a pure JVM expression aggregate (no
+    decode, no Python, whole-stage codegen).  The media table unions
+    the three synthetic modalities over the documents fixtures with
+    integer-exact byte lengths and durations, so the oracle replays it
+    relationally; avg stays unrounded because both engines compute
+    exact-integer-sum / count in IEEE double.
+
+    Scale: this is a plain partial-aggregated groupBy over metadata
+    columns — payload bytes contribute only via length(), which the
+    scan computes without shipping the blob anywhere."""
+    from ..operators.multimodal import media_stats
+
+    docs = table(spark, sf_dir, "documents")
+
+    def rows(filt, modality, fmt, duration):
+        d = docs.filter(filt)
+        return d.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit(modality).alias("modality"),
+            F.col("text").cast("binary").alias("payload"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            duration.cast("long").alias("duration_ms"),
+        )
+
+    media = (
+        rows(F.col("doc_id") % 5 == 0, "image", "png", F.lit(None))
+        .unionByName(
+            rows(
+                F.col("doc_id") % 3 == 0,
+                "audio",
+                "wav",
+                (160 + (F.col("doc_id") % 5) * 80) / F.lit(8),
+            )
+        )
+        .unionByName(
+            rows(
+                F.col("doc_id") % 7 == 0,
+                "video",
+                "raw",
+                F.least(1 + F.col("doc_id") % 5, F.length("text")) * 1000,
+            )
+        )
+    )
+    return media_stats(media).select(
+        "modality",
+        "format",
+        "n",
+        "total_bytes",
+        "avg_duration_ms",
+    )
+
+
 GAP_US = 30 * 60 * 1_000_000  # session gap (30 min) in microseconds
 
 

@@ -232,3 +232,33 @@ def test_sql_factory_queries_hash_their_sql():
     assert "<locals>" in QUERIES[a].fn.__qualname__
     # identical factory machinery, different SQL → different hashes
     assert hashes[a] != hashes[b]
+
+
+def test_update_is_idempotent_within_a_round(tmp_path, monkeypatch):
+    """Re-running `update --round N` (a query added late in the round)
+    must reproduce the SAME stamp, not mark 50 more queries green:
+    the pre-round baseline persisted in _meta is the staleness input,
+    so a second stamp recomputes the same window instead of treating
+    the first stamp's greens as history."""
+    from omim_spark.workload import QUERIES
+
+    target = tmp_path / "manifest.json"
+    target.write_text(json.dumps({n: "stale" for n in QUERIES}))
+    monkeypatch.setattr(ledger, "MANIFEST", target)
+
+    ledger._update(9)
+    first = json.loads(target.read_text())
+    ledger._update(9)
+    second = json.loads(target.read_text())
+    assert first == second
+    stamped = [
+        n for n, v in second.items()
+        if not n.startswith("_") and v["green"] == 9
+    ]
+    assert len(stamped) == min(50, len(QUERIES))
+    # and a LATER round uses the stamped state as its baseline
+    ledger._update(10)
+    third = json.loads(target.read_text())
+    assert third["_meta"]["baseline_green"] != second["_meta"][
+        "baseline_green"
+    ]

@@ -113,6 +113,13 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    "q_multimodal_stats": {
+        # metadata rollup is pure JVM expression work: whole-stage
+        # codegen aggregate, NO Python operator in the plan, 2-col scan
+        "require": ["HashAggregate"],
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["MapInPandas", "ArrowEvalPython", "BatchEvalPython"],
+    },
     "q_substring_clean_corpus": {
         # full-corpus rewrite through the bucketed layout: same
         # row-local rewrite shape as the excise pass (Generate for the

@@ -301,8 +301,23 @@ def _update(round_no: int) -> None:
     from omim_spark.workload import QUERIES, _VERIFY_FIRST, _VERIFY_LAST
 
     old = load_manifest()
+    meta_old = load_meta()
+    # Baseline greens = each query's last green BEFORE this round's
+    # stamp.  Normally that is just the manifest — but re-running
+    # update for the SAME round (new query added late in the round)
+    # must not treat the earlier stamp's green=round_no as history:
+    # without this, every re-stamp marks 50 MORE queries green and the
+    # tail ends the round claiming driver rows it will never get.  The
+    # pre-round baseline is persisted in _meta at stamp time, making
+    # update idempotent within a round.
+    if meta_old.get("round") == round_no and "baseline_green" in meta_old:
+        baseline = dict(meta_old["baseline_green"])
+    else:
+        baseline = {
+            n: v.get("green", 0) for n, v in old.items()
+        }
     # Liveness (r7 ADVICE): compute the stamped window from the
-    # PRE-UPDATE staleness sort, NOT from the current registry order.
+    # PRE-ROUND staleness sort, NOT from the current registry order.
     # The registry replays the previous round's _meta.window while
     # _VERIFY_FIRST is unchanged, so `list(QUERIES)[:50]` here would
     # re-stamp the same 50 forever in a round that never touched the
@@ -315,14 +330,14 @@ def _update(round_no: int) -> None:
             for n in QUERIES
             if n not in set(front) and n not in _VERIFY_LAST
         ),
-        key=lambda n: (old.get(n, {}).get("green", 0), pos[n]),
+        key=lambda n: (baseline.get(n, 0), pos[n]),
     )
     window = (front + rest)[:50]
     wset = set(window)
     manifest: dict = {
         n: {
             "hash": h,
-            "green": round_no if n in wset else old.get(n, {}).get("green", 0),
+            "green": round_no if n in wset else baseline.get(n, 0),
         }
         for n, h in semantic_hashes().items()
     }
@@ -330,6 +345,9 @@ def _update(round_no: int) -> None:
         "round": round_no,
         "verify_first": list(_VERIFY_FIRST),
         "window": window,
+        "baseline_green": {
+            n: baseline.get(n, 0) for n in sorted(semantic_hashes())
+        },
     }
     MANIFEST.write_text(json.dumps(manifest, indent=1, sort_keys=True) + "\n")
     print(f"wrote {MANIFEST} (window of {len(window)} stamped green={round_no})")
