@@ -7,6 +7,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is forced end-to-end with a noop write (full computation,
 no driver collect overhead).
+
+Machine-state controls (all env-overridable):
+  SPARK_GRAFT_BENCH_RUNS   timed executions per query (default 5;
+                           headline value = min, spread emitted)
+  SPARK_GRAFT_SETTLE_S     max seconds to wait pre-measurement for
+                           the 1-min loadavg to drain (default 90)
+  SPARK_GRAFT_SETTLE_LOAD  loadavg bar for the settle gate (default
+                           2.0 — strict for a 32-core box on purpose:
+                           r7's contaminating load was Spark-shaped,
+                           so even modest loadavg inflated the
+                           shuffle-heavy queries 1.8-2.8x)
+The emitted calibration block carries cpu + shuffle probe times,
+settle_wait_s, and loadavg before/after, so a contaminated draw is
+attributable from the artifact alone.
 """
 
 from __future__ import annotations
