@@ -408,6 +408,138 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 1},
         "forbid": ["CartesianProduct"],
     },
+    # --- r8 spec widening: the round-8 driver window's previously
+    # unspecified queries (plan facts measured at the audit's own
+    # conditions, sf0.01).  Join STRATEGY is deliberately unpinned for
+    # the TPC-H-style queries (BHJ vs SMJ legitimately flips with
+    # scale/AQE); the sf-independent invariants are column pruning
+    # (ReadSchema width), no cross products, and — for the keyed
+    # window tier — the single structural exchange.
+    "q19_disjunctive_predicates": {
+        # disjunctive pred partially pushes; only 4 cols of each side
+        "require": ["HashAggregate"],
+        "max_scan_cols": {"lineitem": 4, "part": 4},
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q22_global_avg_balance": {
+        # decorrelated scalar subquery: one customer pass per role,
+        # anti join against orders — never a per-row subquery loop
+        "require": ["HashAggregate"],
+        "max_scan_cols": {"customer": 3, "orders": 2},
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q07_nation_trade": {
+        "require": ["HashAggregate"],
+        "max_scan_cols": {
+            "lineitem": 5, "orders": 2, "customer": 2,
+            "supplier": 2, "nation": 2,
+        },
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q11_important_stock": {
+        "require": ["HashAggregate"],
+        "max_scan_cols": {"lineitem": 4, "supplier": 2, "nation": 2},
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q02_min_cost_supplier": {
+        "require": ["HashAggregate"],
+        "max_scan_cols": {"part": 3, "lineitem": 3, "supplier": 2},
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q08_market_share": {
+        "require": ["HashAggregate"],
+        "max_scan_cols": {
+            "lineitem": 4, "orders": 3, "customer": 2,
+            "supplier": 2, "nation": 2, "region": 2,
+        },
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q09_product_profit": {
+        "require": ["HashAggregate"],
+        "max_scan_cols": {
+            "lineitem": 6, "part": 3, "supplier": 2,
+            "orders": 2, "nation": 2,
+        },
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_event_islands_rle": {
+        # gaps-and-islands: ONE keyed window shuffle; the island agg
+        # reuses the window's partitioning
+        "require": ["Window", "HashAggregate"],
+        "max_hash_exchanges": 1,
+        "max_scan_cols": {"events": 4},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_scd2_priority_intervals": {
+        "require": ["Window"],
+        "max_hash_exchanges": 1,
+        "max_scan_cols": {"orders": 4},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_median_doc_stats": {
+        # exact percentiles: single keyed shuffle into the percentile
+        # aggregate; 2-col scan (no text beyond length arithmetic)
+        "require": ["ObjectHashAggregate"],
+        "max_hash_exchanges": 1,
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_window_zoo": {
+        # the full ranking-function suite over ONE keyed window
+        "require": ["Window"],
+        "max_hash_exchanges": 1,
+        "max_scan_cols": {"customer": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_null_semantics": {
+        "max_hash_exchanges": 1,
+        "max_scan_cols": {"orders": 3},
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_equiv_cliques": {
+        # shared-symbol cliques via window collect, never a self-join
+        # explosion (inline fixture → no parquet scan to cap)
+        "require": ["Window"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_array_hof_zoo": {
+        # higher-order array functions must stay JVM expressions: no
+        # Python operator of any kind, no join, 2-col scan
+        "max_scan_cols": {"documents": 2},
+        "forbid": [
+            "CartesianProduct", "MapInPandas",
+            "ArrowEvalPython", "BatchEvalPython",
+        ],
+    },
+    "q_approx_distinct_sketch": {
+        # approx_count_distinct: partial sketches map-side combined
+        "require": ["HashAggregate"],
+        "max_hash_exchanges": 2,
+        "max_scan_cols": {"events": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_trending_rank_delta": {
+        # two period rollups + one rank window; deltas join on the
+        # (bounded) key domain — never a raw-events self join
+        "require": ["Window", "HashAggregate"],
+        "max_hash_exchanges": 3,
+        "max_scan_cols": {"events": 2},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_percentile_bands": {
+        "require": ["ObjectHashAggregate"],
+        "max_hash_exchanges": 1,
+        "max_scan_cols": {"events": 3},
+        "forbid": ["CartesianProduct"],
+    },
+    "q_hll_merge_rollup": {
+        # partial HLL sketches built per cell then MERGED upward —
+        # the rollup must aggregate sketches, not rescan events
+        "require": ["ObjectHashAggregate"],
+        "max_hash_exchanges": 4,
+        "max_scan_cols": {"events": 3},
+        "forbid": ["CartesianProduct"],
+    },
     "q_weighted_sample_es": {
         # key is stateless map-side arithmetic; selection is
         # TakeOrdered per partition, never a global sort
