@@ -557,6 +557,129 @@ AUDITS: dict[str, dict] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# MEASURED pruning tripwires (r8): every remaining batch query gets the
+# sf-independent minimum — column-pruning caps exactly as MEASURED from
+# the executed plan at the audit's own conditions (sf0.01) plus a
+# cross-product ban (BroadcastNestedLoopJoin banned wherever the
+# measured plan had none; q_vocab_coverage legitimately carries one —
+# a literal vocab table).  These are regression tripwires, not design
+# docs: a future edit that widens a scan or introduces a cross product
+# fails the audit the moment it lands.  Curated AUDITS entries above
+# take precedence on collision.  Regenerate after intentional plan
+# changes with the snippet in the r8 session notes (dump ReadSchema
+# widths per table from executedPlan at sf0.01).
+MEASURED_AUDITS: dict[str, dict] = {
+
+    'q_pagerank_steps': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_vocab_coverage': {'max_scan_cols': {'documents': 1}, 'forbid': ['CartesianProduct']},
+    'q_feature_hashing': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_phrase_search': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_stopword_induction': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct']},
+    'q_top_terms_per_source': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct']},
+    'q_doc_length_histogram': {'max_scan_cols': {'documents': 1}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_dup_rate_by_source': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_ann_lsh_buckets': {'max_scan_cols': {'embeddings': 1}, 'forbid': ['CartesianProduct']},
+    'q_ann_pq_adc': {'max_scan_cols': {'embeddings': 2}, 'forbid': ['CartesianProduct']},
+    'q_events_hourly': {'max_scan_cols': {'events': 4}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_sequence_pattern': {'max_scan_cols': {'events': 4}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_latest_per_key': {'max_scan_cols': {'events': 5}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_zorder_locality': {'max_scan_cols': {'events': 2}, 'forbid': ['CartesianProduct']},
+    'q_dedup_normalized': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_dedup_lsh_capped': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_ann_ivf_stored': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_linear_fit': {'max_scan_cols': {'events': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_perplexity_filter': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q10_returned_items': {'max_scan_cols': {'lineitem': 4, 'orders': 3, 'customer': 4, 'nation': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_anti_join_customers': {'max_scan_cols': {'customer': 2, 'orders': 1}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_semi_join_customers': {'max_scan_cols': {'customer': 2, 'orders': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_conflict_drop_join': {'max_scan_cols': {'customer': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_self_join_pairs': {'max_scan_cols': {'lineitem': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_upsert_merge': {'max_scan_cols': {'orders': 4}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_triple_graph_pattern': {'max_scan_cols': {'customer': 2, 'nation': 2, 'region': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_group_collect_parts': {'max_scan_cols': {'lineitem': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_clique_suppliers': {'max_scan_cols': {'supplier': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_window_assoc_count': {'max_scan_cols': {'orders': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_singleton_groups': {'max_scan_cols': {'lineitem': 1}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_distinct_pairs': {'max_scan_cols': {'customer': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_except_members': {'max_scan_cols': {'customer': 1, 'orders': 1}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_union_parties': {'max_scan_cols': {'supplier': 3, 'customer': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_rollup_acctbal': {'max_scan_cols': {'supplier': 2, 'nation': 3, 'region': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_stats_aggregates': {'max_scan_cols': {'orders': 2, 'customer': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_unpivot_melt': {'max_scan_cols': {'customer': 4}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_incremental_rollup': {'max_scan_cols': {'orders': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_ab_experiment': {'max_scan_cols': {'orders': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_k_anonymity': {'max_scan_cols': {'customer': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_skew_report': {'max_scan_cols': {'lineitem': 1, 'events': 1}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_regexp_morbid_extract': {'max_scan_cols': {'part': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_token_explode_counts': {'max_scan_cols': {'documents': 1}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_string_scalar_suite': {'max_scan_cols': {'customer': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_dates_monthly': {'max_scan_cols': {'orders': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_case_evidence_branch': {'max_scan_cols': {'orders': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_text_quality': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_lang_id_heuristic': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_token_count_bpe': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_dedup_cluster_survivors': {'max_scan_cols': {'documents': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_dedup_incremental': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_lsh_recall': {'forbid': ['CartesianProduct']},
+    'q_dedup_containment': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_dedup_cluster_histogram': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_doc_fingerprint': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_tf_df_stats': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct']},
+    'q_dedup_simhash': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_grouped_rank_normalize': {'max_scan_cols': {'documents': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_embedding_neardup': {'max_scan_cols': {'embeddings': 2}, 'forbid': ['CartesianProduct']},
+    'q_embedding_centroids': {'max_scan_cols': {'embeddings': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_sessionize': {'max_scan_cols': {'events': 4}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_json_props': {'max_scan_cols': {'events': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_user_activity_pivot': {'max_scan_cols': {'events': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_events_sliding_window': {'max_scan_cols': {'events': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_asof_click_purchase': {'max_scan_cols': {'events': 5}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_interval_join_attribution': {'max_scan_cols': {'events': 4}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_omim_entry_types': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_omim_title_split': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_omim_assoc_decision': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_omim_phenotypic_series': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_omim_sssom_normalize': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_omim_parse_id': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_omim_cache_upsert_unpack': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_omim_hgnc_conflict_drop': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_omim_restriction_emission': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q12_case_agg_shipmode': {'max_scan_cols': {'orders': 2, 'lineitem': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q13_customer_distribution': {'max_scan_cols': {'customer': 1, 'orders': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q14_promo_share': {'max_scan_cols': {'lineitem': 4, 'part': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q15_top_supplier': {'max_scan_cols': {'supplier': 2, 'lineitem': 4}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q16_parts_suppliers': {'max_scan_cols': {'part': 4, 'lineitem': 2, 'supplier': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q18_large_orders': {'max_scan_cols': {'customer': 2, 'orders': 3, 'lineitem': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_substring_spans': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    'q_decontaminate': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+}
+
+AUDITS = {**MEASURED_AUDITS, **AUDITS}
+
+
+def _scan_widths(plan: str) -> list[tuple[str, int]]:
+    """(Location line, ReadSchema column count) for every scan block
+    in a formatted explain.  Each ReadSchema is paired with the
+    NEAREST PRECEDING Location line — block-local, unlike the old
+    greedy `Location:.*frag.*?ReadSchema` regex, which with re.S
+    could bind a Location far above to a different table's
+    ReadSchema below (observed: a lineitem ReadSchema attributed to
+    the supplier cap in q15)."""
+    locs = [
+        (m.start(), m.group(0))
+        for m in re.finditer(r"Location: [^\n]*", plan)
+    ]
+    out: list[tuple[str, int]] = []
+    li = 0
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        while li < len(locs) and locs[li][0] < m.start():
+            li += 1
+        if li:
+            out.append((locs[li - 1][1], len(m.group(1).split(","))))
+    return out
+
+
 def audit(spark, sf_dir: str) -> list[str]:
     from omim_spark.workload import QUERIES
 
@@ -571,14 +694,10 @@ def audit(spark, sf_dir: str) -> list[str]:
             pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
             if not re.search(spec["pushed"], pushed):
                 failures.append(f"{name}: filter not pushed ({spec['pushed']})")
+        scans = _scan_widths(plan)
         for frag, max_cols in spec.get("max_scan_cols", {}).items():
-            for m in re.finditer(
-                r"Location:.*" + frag + r".*?ReadSchema: struct<([^>]*)>",
-                plan,
-                re.S,
-            ):
-                ncols = len(m.group(1).split(","))
-                if ncols > max_cols:
+            for loc, ncols in scans:
+                if frag in loc and ncols > max_cols:
                     failures.append(
                         f"{name}: {frag} scan reads {ncols} cols (max {max_cols})"
                     )
