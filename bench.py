@@ -18,9 +18,18 @@ Machine-state controls (all env-overridable):
                            r7's contaminating load was Spark-shaped,
                            so even modest loadavg inflated the
                            shuffle-heavy queries 1.8-2.8x)
-The emitted calibration block carries cpu + shuffle probe times,
-settle_wait_s, and loadavg before/after, so a contaminated draw is
-attributable from the artifact alone.
+  SPARK_GRAFT_SETTLE_ATTEMPTS  probe-verified settle retries (default
+                           3): after each settle wait the calibration
+                           probes must read within SPARK_GRAFT_CALIB_TOL
+                           (default 2.0x) of the idle floors
+                           (SPARK_GRAFT_CPU_FLOOR / _SHUFFLE_FLOOR,
+                           defaults = r8 idle minima) or the gate
+                           sleeps and retries; exhausted retries stamp
+                           "gave_up_contended": true in the artifact.
+The emitted calibration block carries cpu + shuffle probe times (every
+attempt), settle waits, floors, the gave-up flag, and loadavg
+before/after, so a contaminated draw is attributable from the artifact
+alone — and since r9 the harness actively avoids starting one.
 """
 
 from __future__ import annotations
@@ -116,18 +125,49 @@ def main() -> None:
     # Wait (bounded) for the 1-minute loadavg to fall to a level where
     # the calibration probes can read clean, and record how long we
     # waited so the artifact shows whether the gate engaged.
+    #
+    # r9 hardening (r8 judge #6): BENCH_r08's draw exhausted the 90 s
+    # settle budget and STILL started 5x contended (the loadavg gate
+    # can pass while shuffle-bandwidth pressure persists).  So the gate
+    # is now probe-verified: after each settle wait, run the
+    # calibration probes and only proceed once both read within
+    # SPARK_GRAFT_CALIB_TOL (default 2.0x) of their committed idle
+    # floors — else sleep-retry, up to SPARK_GRAFT_SETTLE_ATTEMPTS
+    # (default 3) waits.  If every attempt reads contended, measure
+    # anyway but stamp "gave_up_contended": true so the artifact says
+    # so explicitly instead of leaving it to forensic diffing.  Floors
+    # are env-overridable for other machines; defaults are the r8 idle
+    # probe minima on this 32-core box.
     settle_limit = float(os.environ.get("SPARK_GRAFT_SETTLE_S", "90"))
     settle_bar = float(os.environ.get("SPARK_GRAFT_SETTLE_LOAD", "2.0"))
-    t_settle = time.perf_counter()
-    while (
-        os.getloadavg()[0] > settle_bar
-        and time.perf_counter() - t_settle < settle_limit
-    ):
-        time.sleep(2.0)
-    settle_wait = round(time.perf_counter() - t_settle, 1)
+    cpu_floor = float(os.environ.get("SPARK_GRAFT_CPU_FLOOR", "0.131"))
+    shuffle_floor = float(os.environ.get("SPARK_GRAFT_SHUFFLE_FLOOR", "0.94"))
+    calib_tol = float(os.environ.get("SPARK_GRAFT_CALIB_TOL", "2.0"))
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_SETTLE_ATTEMPTS", "3")))
+
+    settle_waits: list[float] = []
+    calib_attempts: list[dict] = []
+    gave_up_contended = False
+    for attempt in range(max_attempts):
+        t_settle = time.perf_counter()
+        while (
+            os.getloadavg()[0] > settle_bar
+            and time.perf_counter() - t_settle < settle_limit
+        ):
+            time.sleep(2.0)
+        settle_waits.append(round(time.perf_counter() - t_settle, 1))
+        calib_before = _calibrate()
+        calib_attempts.append(calib_before)
+        clean = (
+            calib_before["cpu"]["min"] <= calib_tol * cpu_floor
+            and calib_before["shuffle"]["min"] <= calib_tol * shuffle_floor
+        )
+        if clean:
+            break
+        gave_up_contended = attempt == max_attempts - 1
+    settle_wait = round(sum(settle_waits), 1)
 
     load_before = os.getloadavg()
-    calib_before = _calibrate()
 
     # n timed executions per query (default 5, override with
     # $SPARK_GRAFT_BENCH_RUNS).  Single executions at this scale vary
@@ -180,7 +220,11 @@ def main() -> None:
                     },
                     "before": calib_before,
                     "after": calib_after,
+                    "before_attempts": calib_attempts,
+                    "floors": {"cpu": cpu_floor, "shuffle": shuffle_floor},
+                    "gave_up_contended": gave_up_contended,
                     "settle_wait_s": settle_wait,
+                    "settle_waits_s": settle_waits,
                     "loadavg_before": [round(x, 2) for x in load_before],
                     "loadavg_after": [round(x, 2) for x in load_after],
                 },

@@ -60,12 +60,15 @@ def refresh_sources(
     HTML error page with HTTP 200 on bad download keys), land it in
     ``data_dir``.
 
-    All-or-nothing (hardened vs the reference, which writes each file
-    before the next fetch): every download is staged and validated
-    first, then the set moves into ``data_dir`` together — a transport
-    failure or HTML error page mid-sequence can no longer leave the
-    landing dir holding a mix of two OMIM versions that a subsequent
-    ``-c`` build would silently consume."""
+    Validated-before-any-write (hardened vs the reference, which
+    writes each file before the next fetch): every download is staged
+    and validated first, then the set moves into ``data_dir`` — a
+    transport failure or HTML error page mid-sequence can no longer
+    leave the landing dir holding a mix of two OMIM versions that a
+    subsequent ``-c`` build would silently consume.  Each individual
+    landing is an atomic ``os.replace``; the loop across files is NOT
+    atomic as a set (a hard crash mid-loop can still leave a mixed
+    landing dir — r8 ADVICE), but no invalid payload is ever landed."""
     staged: list[tuple[str, str]] = []
     for fname in files:
         text = transport(download_url(fname, download_key))
@@ -75,12 +78,17 @@ def refresh_sources(
     import tempfile
 
     os.makedirs(data_dir, exist_ok=True)
+    # mkstemp creates 0600; restore the umask-derived mode a plain
+    # open() would have produced so landing doesn't tighten perms.
+    umask = os.umask(0)
+    os.umask(umask)
     for fname, text in staged:
         # stage on the destination filesystem so replace() is atomic
         fd, tmp = tempfile.mkstemp(prefix=f".{fname}.", dir=data_dir)
         try:
             with os.fdopen(fd, "w") as f:
                 f.write(text)
+            os.chmod(tmp, 0o666 & ~umask)
             os.replace(tmp, os.path.join(data_dir, fname))
         except BaseException:
             try:

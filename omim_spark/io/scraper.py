@@ -67,10 +67,17 @@ def validate_yyyy_mm(yyyy_mm: str) -> tuple[str, int]:
 
 class _MimHintSpans(HTMLParser):
     """Collect the full text (nested markup included) of every
-    ``<span class="mim-font mim-hint">`` — the stdlib equivalent of
+    ``<span class="mim-font mim-hint">`` — the stdlib counterpart of
     the reference's ``soup.find_all('span', {'class': 'mim-font
-    mim-hint'})``: both classes must be present, extra classes are
-    fine, order is irrelevant."""
+    mim-hint'})``, with two DELIBERATE divergences (r8 ADVICE): class
+    matching is set-inclusion (both classes present ⇒ match, extra
+    classes and any order are fine, where BS4's dict form matches the
+    exact attribute string), and a matching span nested inside another
+    matching span contributes to the OUTER span's text instead of
+    yielding a second row.  Both are the more permissive/robust
+    behavior for scrape input; on the reference's actual pages (flat
+    span lists, exact two-class attribute) the outputs are
+    identical — pinned by test_scraper.py's parity fixtures."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)

@@ -154,16 +154,18 @@ def extract_image_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                px = _decode(row["payload"], row["width"], row["height"], decoder)
+            for mid, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                px = _decode(payload, w, h, decoder)
                 if px is None:
-                    out.append((row["media_id"], row["width"], row["height"], None, None))
+                    out.append((mid, w, h, None, None))
                     continue
                 hist, _ = np.histogram(px, bins=n_features, range=(0, 255))
                 total = max(int(hist.sum()), 1)
                 out.append(
                     (
-                        int(row["media_id"]),
+                        int(mid),
                         int(px.shape[1]),
                         int(px.shape[0]),
                         float(px.mean()),
@@ -187,11 +189,13 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                px = _decode(row["payload"], row["width"], row["height"], decoder)
+            payloads, widths, heights = [], [], []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                px = _decode(payload, w, h, decoder)
                 if px is None:
-                    rows.append(row)
+                    payloads.append(payload)
+                    widths.append(w)
+                    heights.append(h)
                     continue
                 ys = (np.arange(out_height) * px.shape[0] // out_height).clip(
                     0, px.shape[0] - 1
@@ -199,12 +203,14 @@ def resize_images(
                 xs = (np.arange(out_width) * px.shape[1] // out_width).clip(
                     0, px.shape[1] - 1
                 )
-                resized = px[np.ix_(ys, xs)]
-                row = row.copy()
-                row["payload"] = resized.tobytes()
-                row["width"], row["height"] = out_width, out_height
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=pdf.columns)
+                payloads.append(px[np.ix_(ys, xs)].tobytes())
+                widths.append(out_width)
+                heights.append(out_height)
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = widths
+            out["height"] = heights
+            yield out
 
     return media.mapInPandas(run, media.schema)
 
@@ -237,24 +243,27 @@ def sample_video_frames(
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                if row["payload"] is None or row["duration_ms"] is None:
+            for mid, payload, duration in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if payload is None or duration is None or pd.isna(duration):
                     continue
-                payload = bytes(row["payload"])
-                duration = int(row["duration_ms"])
+                payload = bytes(payload)
+                duration = int(duration)
                 n_samples = max(duration // every_ms, 1)
                 if container == "raw":
                     step = max(len(payload) // n_samples, 1)
                     for i in range(n_samples):
                         out.append(
-                            (
-                                int(row["media_id"]),
-                                i,
-                                payload[i * step : (i + 1) * step],
-                            )
+                            (int(mid), i, payload[i * step : (i + 1) * step])
                         )
-                elif container == "png-concat":
-                    frames = split_png_concat(payload)
+                elif container in ("png-concat", "y4m"):
+                    if container == "y4m":
+                        from .y4m import decode_y4m
+
+                        frames = decode_y4m(payload)[1]
+                    else:
+                        frames = split_png_concat(payload)
                     if not frames:
                         continue
                     for i in range(n_samples):
@@ -262,7 +271,7 @@ def sample_video_frames(
                             i * every_ms * len(frames) // max(duration, 1),
                             len(frames) - 1,
                         )
-                        out.append((int(row["media_id"]), i, frames[j]))
+                        out.append((int(mid), i, frames[j]))
                 else:
                     raise NotImplementedError(
                         f"unknown video container: {container}"
@@ -287,7 +296,11 @@ def extract_audio_features(
     audio twin of the PNG path, no media library required.  Features
     are chosen to be exactly replayable by an integer-arithmetic
     oracle: sample count, duration, |peak|, and the integer energy
-    ``sum_sq`` (RMS is derived from it in float and rounded)."""
+    ``sum_sq`` (RMS is derived from it in float and rounded).
+
+    ``n_samples`` counts INTERLEAVED samples (frames × channels);
+    ``duration_ms`` is computed from frames (n_samples / channels),
+    so multi-channel clips report wall-clock duration (r8 ADVICE)."""
     if decoder != "wav":
         raise NotImplementedError(f"unknown audio decoder: {decoder}")
 
@@ -296,22 +309,21 @@ def extract_audio_features(
 
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                if row["payload"] is None:
-                    out.append(
-                        (int(row["media_id"]), None, None, None, None, None, None)
-                    )
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    out.append((int(mid), None, None, None, None, None, None))
                     continue
-                samples, rate, _ = decode_wav(bytes(row["payload"]))
+                samples, rate, channels = decode_wav(bytes(payload))
                 s = samples.reshape(-1).astype(np.int64)
-                n = int(s.size)
+                n = int(s.size)  # interleaved sample count (frames × channels)
+                n_frames = n // channels
                 sum_sq = int((s * s).sum())
                 out.append(
                     (
-                        int(row["media_id"]),
+                        int(mid),
                         int(rate),
                         n,
-                        n * 1000 // rate if rate else None,
+                        n_frames * 1000 // rate if rate else None,
                         int(np.abs(s).max()) if n else 0,
                         sum_sq,
                         round(float(np.sqrt(sum_sq / n)), 6) if n else 0.0,

@@ -76,6 +76,13 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
         raise NotImplementedError(
             f"only PCM 16-bit supported (format={audio_format}, bits={bits})"
         )
+    # A zero channel count / sample rate is a malformed container, not a
+    # feature gap — reject it up front (ValueError per the contract)
+    # rather than letting the truncation arithmetic divide by zero.
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(
+            f"malformed fmt chunk (channels={n_channels}, rate={sample_rate})"
+        )
     samples = np.frombuffer(pcm[: (len(pcm) // (2 * n_channels)) * 2 * n_channels],
                             dtype="<i2")
     if n_channels > 1:

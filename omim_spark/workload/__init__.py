@@ -23,6 +23,7 @@ from . import subqueries  # noqa: E402,F401
 from . import pipelineops  # noqa: E402,F401
 from . import streamgate  # noqa: E402,F401
 from . import graphiter  # noqa: E402,F401
+from . import fixtures  # noqa: E402,F401
 from . import spans  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import corpusstats  # noqa: E402,F401
