@@ -15,11 +15,14 @@ shapes, mapInPandas partitioning, metadata propagation.  Decoders:
   payload bytes, for plumbing tests and non-image payloads.
 
 Audio decode is REAL for WAV (``operators.wav``: pure-stdlib RIFF/PCM
-chunk walk, 16-bit samples) via ``extract_audio_features``.  Video has
-no general codec (none ships in the container), but the synthetic
-``png-concat`` container yields real, decodable PNG frames through
-``sample_video_frames(container='png-concat')``; only arbitrary
-mp4/webm decode remains honestly absent.
+chunk walk, 16-bit samples) via ``extract_audio_features``.  Video
+decodes for two containers: Y4M/yuv4mpeg2 (``operators.y4m`` — a real
+in-the-wild format whose frames are raw planar pixels, so extraction
+IS decode) and the synthetic ``png-concat`` container (each frame a
+complete PNG, decodable via ``operators.png``), both through
+``sample_video_frames(container=...)``; only entropy-coded mp4/webm
+decode remains honestly absent (no codec library ships in the
+container).
 
 Scale notes:
 - media bytes stay in the executor: mapInPandas streams Arrow batches,
@@ -236,7 +239,13 @@ def sample_video_frames(
       (``operators.png.split_png_concat``) and decodable downstream
       with ``decode_png``.  Sampling picks the container frame nearest
       each ``every_ms`` tick (frames assumed evenly spaced over
-      ``duration_ms``)."""
+      ``duration_ms``).
+    - ``'y4m'`` — the payload is a yuv4mpeg2 stream (a real
+      in-the-wild container: mjpegtools, ffmpeg's yuv4mpegpipe); each
+      sampled frame is the RAW PLANAR PIXEL bytes extracted by the
+      pure-stdlib parser in ``operators.y4m`` — no entropy coding in
+      Y4M, so extraction is decode.  Same nearest-tick sampling as
+      png-concat."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .png import split_png_concat
