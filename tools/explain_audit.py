@@ -316,6 +316,35 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"part": 2},
         "forbid": ["CartesianProduct"],
     },
+    "q_fuzzy_name_match_fixture": {
+        # same core as q_fuzzy_name_match (inline fixture → no parquet
+        # scan to cap): still canonicalize-then-block, never raw-row
+        # pairing or an unblocked cross
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_conflict_drop_fixture": {
+        # full-outer reconciliation of two pre-aggregated maps — the
+        # null-safe filter must not degrade the join to a nested loop.
+        # String min/max buffers plan as SortAggregate (not hash), but
+        # the partial_min/partial_max still combine before the
+        # exchange, which is the invariant that matters.
+        "require": ["FullOuter", "partial_min", "partial_max"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_singleton_groups_fixture": {
+        # HAVING COUNT(*)=1 is one partial-aggregated groupBy
+        "require": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "Join"],
+    },
+    "q_multimodal_y4m": {
+        # y4m encode (pandas UDF) + container-walk frame extraction
+        # (mapInPandas): stream bytes stay executor-side in Arrow
+        # batches; 2-col scan, no join at all
+        "require": ["MapInPandas"],
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "q_snapshot_diff": {
         # both snapshot filters reach the scan; the diff is one
         # full-outer shuffle join of two pre-aggregated snapshots
