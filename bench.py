@@ -165,6 +165,14 @@ def main() -> None:
         if clean:
             break
         gave_up_contended = attempt == max_attempts - 1
+        if not gave_up_contended:
+            # Contended probes with LOW loadavg = the r8 failure mode
+            # (host-level contention invisible to the guest's loadavg,
+            # BENCH_HISTORY r8 notes), where the settle loop above
+            # waits 0 s — back-to-back re-probes would all read the
+            # same hot host.  Give the host time to drain between
+            # attempts.
+            time.sleep(float(os.environ.get("SPARK_GRAFT_RETRY_SLEEP_S", "45")))
     settle_wait = round(sum(settle_waits), 1)
 
     load_before = os.getloadavg()
