@@ -81,6 +81,12 @@ _VERIFY_FIRST = [
     # video container (pure-stdlib parser, operators/y4m.py) under the
     # gate with per-frame pixel-md5 + luma-sum oracle.
     "q_multimodal_y4m",
+    # NEW in round 9: the two J10 SPARQL INSERT rewrites (.ru files)
+    # under the gate — previously builder-only; fixture graphs prove
+    # the flip + anti-join suppression and the hgnc-link emission with
+    # oracle-recomputed md5 bnodes.
+    "q_sparql_insert_flipped",
+    "q_sparql_insert_hgnc_links",
     # Round 9: the mapInPandas decode loops dropped pdf.iterrows() for
     # column zips (r8 judge #5) and extract_audio_features now derives
     # duration from frames (n/channels, r8 ADVICE); the frames/audio

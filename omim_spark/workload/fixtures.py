@@ -15,6 +15,9 @@ verified rows.
 - q_singleton_groups_fixture — HAVING COUNT(*) = 1 (A8) over a fixture
   with actual singletons; every l_partkey appears ≥2 times even at
   sf0.001.
+- q_sparql_insert_flipped / q_sparql_insert_hgnc_links — the two J10
+  SPARQL INSERT rewrites (reference sparql/*.ru) over fixture graphs,
+  moving them from builder-only pytest evidence to driver-gated rows.
 
 Pattern precedent: q_equiv_cliques (workload/graphiter.py) — fixture
 rows inlined on the Spark side via createDataFrame and mirrored in the
@@ -167,4 +170,134 @@ def q_singleton_groups_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") == 1)
         .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10: SPARQL INSERT rewrites (reference sparql/*.ru) under the gate —
+# previously builder-only (tests/test_*::test_insert_rewrites).  The
+# fixture graph exercises the positive path, the already-present
+# suppression, and the wrong-predicate decoy.
+# ---------------------------------------------------------------------------
+
+# (subject, predicate, object): two MONDO exactMatch edges to flip,
+# one whose flip ALREADY exists (anti-join suppression), a
+# non-exactMatch edge and a non-MONDO-subject edge (both ignored).
+_FLIP_ROWS = [
+    ("MONDO:0000001", "skos:exactMatch", "OMIM:100100"),
+    ("MONDO:0000002", "skos:exactMatch", "HGNC:5"),
+    ("HGNC:5", "skos:exactMatch", "MONDO:0000002"),
+    ("MONDO:0000003", "rdfs:label", "some label"),
+    ("OMIM:200200", "skos:exactMatch", "MONDO:0000004"),
+    ("MONDO:0000006", "skos:exactMatch", "Orphanet:55"),
+]
+
+
+@register(
+    "q_sparql_insert_flipped",
+    oracle=f"""
+    WITH t AS (SELECT * FROM {_values_sql(_FLIP_ROWS, ["subject", "predicate", "object"])}),
+    flipped AS (
+      SELECT object AS subject, 'skos:exactMatch' AS predicate,
+             subject AS object, 'uri' AS obj_kind
+      FROM t
+      WHERE predicate = 'skos:exactMatch' AND subject LIKE 'MONDO:%'
+    )
+    SELECT f.* FROM flipped f
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t
+      WHERE t.subject = f.subject AND t.predicate = f.predicate
+        AND t.object = f.object
+    )
+    ORDER BY subject
+    """,
+)
+def q_sparql_insert_flipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The add_flipped_mondo_mappings INSERT rewrite (J10 — reference
+    sparql/add_flipped_mondo_mappings.ru) under the gate: for every
+    MONDO –exactMatch→ X edge, emit X –exactMatch→ MONDO unless that
+    triple already exists (left_anti).  The fixture proves the flip,
+    the dedup-against-existing suppression, and that non-exactMatch /
+    non-MONDO-subject edges are untouched (2 expected rows)."""
+    from omim_spark.queries import add_flipped_mondo_mappings
+
+    triples = spark.createDataFrame(
+        _FLIP_ROWS, "subject string, predicate string, object string"
+    )
+    return (
+        add_flipped_mondo_mappings(triples)
+        .select("subject", "predicate", "object", "obj_kind")
+        .orderBy("subject")
+    )
+
+
+# Graph fixture: two valid disease→RO:0004003→gene→HGNC chains, one
+# wrong-predicate decoy chain (RO:0003302), one gene with no HGNC
+# mapping.
+_HGNC_LINK_ROWS = [
+    ("OMIM:300100", "rdfs:subClassOf", "_:r1"),
+    ("_:r1", "owl:onProperty", "RO:0004003"),
+    ("_:r1", "owl:someValuesFrom", "OMIM:118494"),
+    ("OMIM:118494", "skos:exactMatch", "HGNC:1950"),
+    ("OMIM:400100", "rdfs:subClassOf", "_:r3"),
+    ("_:r3", "owl:onProperty", "RO:0004003"),
+    ("_:r3", "owl:someValuesFrom", "OMIM:118500"),
+    ("OMIM:118500", "skos:exactMatch", "HGNC:2001"),
+    ("OMIM:300200", "rdfs:subClassOf", "_:r2"),
+    ("_:r2", "owl:onProperty", "RO:0003302"),
+    ("_:r2", "owl:someValuesFrom", "OMIM:118505"),
+    ("OMIM:118505", "skos:exactMatch", "HGNC:9999"),
+    ("OMIM:500100", "rdfs:subClassOf", "_:r4"),
+    ("_:r4", "owl:onProperty", "RO:0004003"),
+    ("_:r4", "owl:someValuesFrom", "OMIM:118506"),
+]
+
+
+@register(
+    "q_sparql_insert_hgnc_links",
+    oracle=f"""
+    WITH t AS (SELECT * FROM {_values_sql(_HGNC_LINK_ROWS, ["subject", "predicate", "object"])}),
+    sub AS (SELECT subject AS s_s, object AS s_o FROM t WHERE predicate = 'rdfs:subClassOf'),
+    onp AS (SELECT subject AS b FROM t WHERE predicate = 'owl:onProperty' AND object = 'RO:0004003'),
+    svf AS (SELECT subject AS b, object AS gene FROM t WHERE predicate = 'owl:someValuesFrom'),
+    hg AS (SELECT subject AS gene, object AS hgnc FROM t
+           WHERE predicate = 'skos:exactMatch' AND object LIKE 'HGNC:%'),
+    base AS (
+      SELECT DISTINCT sub.s_s AS cls, hg.hgnc AS hgnc,
+             MD5('restriction|' || sub.s_s || '|RO:0004003|' || hg.hgnc) AS b
+      FROM sub
+      JOIN onp ON sub.s_o = onp.b
+      JOIN svf ON sub.s_o = svf.b
+      JOIN hg ON svf.gene = hg.gene
+    )
+    SELECT subject, predicate, object, obj_kind FROM (
+      SELECT hgnc AS subject, 'rdf:type' AS predicate,
+             'owl:Class' AS object, 'uri' AS obj_kind FROM base
+      UNION ALL SELECT b, 'rdf:type', 'owl:Restriction', 'uri' FROM base
+      UNION ALL SELECT b, 'owl:onProperty', 'RO:0004003', 'uri' FROM base
+      UNION ALL SELECT b, 'owl:someValuesFrom', hgnc, 'uri' FROM base
+      UNION ALL SELECT cls, 'rdfs:subClassOf', b, 'bnode' FROM base
+    )
+    ORDER BY subject, predicate, object
+    """,
+)
+def q_sparql_insert_hgnc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hgnc_links INSERT rewrite (J10 — reference
+    sparql/hgnc_links.ru) under the gate: graph-pattern joins
+    (subClassOf ⋈ onProperty=RO:0004003 ⋈ someValuesFrom ⋈
+    gene-exactMatch-HGNC) then emission of the parallel HGNC
+    restriction with DETERMINISTIC md5 bnodes — the oracle recomputes
+    the bnode ids independently, proving the same determinism contract
+    as q_omim_restriction_emission.  Decoys prove the wrong-predicate
+    chain and the unmapped gene emit nothing (10 expected rows:
+    2 chains × (1 typing + 4 restriction triples))."""
+    from omim_spark.queries import add_hgnc_links
+
+    triples = spark.createDataFrame(
+        _HGNC_LINK_ROWS, "subject string, predicate string, object string"
+    )
+    return (
+        add_hgnc_links(triples)
+        .select("subject", "predicate", "object", "obj_kind")
+        .orderBy("subject", "predicate", "object")
     )

@@ -345,6 +345,20 @@ AUDITS: dict[str, dict] = {
         "max_scan_cols": {"documents": 2},
         "forbid": ["CartesianProduct", "SortMergeJoin"],
     },
+    "q_sparql_insert_flipped": {
+        # already-present suppression must be an anti join, never a
+        # per-row NOT EXISTS or a nested loop
+        "require": ["LeftAnti"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_sparql_insert_hgnc_links": {
+        # 4-way graph-pattern equi-joins + md5-bnode emission: all
+        # equi (no cartesian), emission is pure JVM expression work
+        "forbid": [
+            "CartesianProduct", "BroadcastNestedLoopJoin",
+            "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+    },
     "q_snapshot_diff": {
         # both snapshot filters reach the scan; the diff is one
         # full-outer shuffle join of two pre-aggregated snapshots
