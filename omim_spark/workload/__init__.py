@@ -87,6 +87,11 @@ _VERIFY_FIRST = [
     # oracle-recomputed md5 bnodes.
     "q_sparql_insert_flipped",
     "q_sparql_insert_hgnc_links",
+    # NEW in round 9: G1/G2 axiom reification and G5 bidirectional
+    # gene↔disease emission under the gate — oracle recomputes every
+    # md5 bnode id (previously builder-golden only).
+    "q_omim_axiom_synonyms",
+    "q_omim_gene_disease_bidi",
     # Round 9: the mapInPandas decode loops dropped pdf.iterrows() for
     # column zips (r8 judge #5) and extract_audio_features now derives
     # duration from frames (n/channels, r8 ADVICE); the frames/audio

@@ -18,6 +18,9 @@ verified rows.
 - q_sparql_insert_flipped / q_sparql_insert_hgnc_links — the two J10
   SPARQL INSERT rewrites (reference sparql/*.ru) over fixture graphs,
   moving them from builder-only pytest evidence to driver-gated rows.
+- q_omim_axiom_synonyms / q_omim_gene_disease_bidi — the G1/G2 axiom
+  reification and G5 bidirectional gene↔disease emitters, gated with
+  oracle-recomputed md5 bnode ids (the G3/G4 determinism contract).
 
 Pattern precedent: q_equiv_cliques (workload/graphiter.py) — fixture
 rows inlined on the Spark side via createDataFrame and mirrored in the
@@ -298,6 +301,143 @@ def q_sparql_insert_hgnc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         add_hgnc_links(triples)
+        .select("subject", "predicate", "object", "obj_kind")
+        .orderBy("subject", "predicate", "object")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G1/G2 + G5: graph emitters under the gate (r9) — previously
+# builder-golden only.  Both emit deterministic md5 bnodes, so the
+# oracle recomputes every bnode id independently, the same contract
+# q_omim_restriction_emission pins for G3/G4.
+# ---------------------------------------------------------------------------
+
+_SYN_ROWS = [
+    ("OMIM:100100", "PBS"),
+    ("OMIM:100100", "EGBRS"),
+    ("OMIM:118494", "CHRM3"),
+]
+
+
+@register(
+    "q_omim_axiom_synonyms",
+    oracle=f"""
+    WITH base AS (SELECT * FROM {_values_sql(_SYN_ROWS, ["s", "v"])}),
+    b AS (
+      SELECT s, v,
+             MD5('axiom|' || s || '|oboInOwl:hasExactSynonym|' || v) AS ax
+      FROM base
+    )
+    SELECT subject, predicate, object, obj_kind FROM (
+      SELECT s AS subject, 'oboInOwl:hasExactSynonym' AS predicate,
+             v AS object, 'literal' AS obj_kind FROM b
+      UNION ALL SELECT ax, 'rdf:type', 'owl:Axiom', 'uri' FROM b
+      UNION ALL SELECT ax, 'owl:annotatedSource', s, 'uri' FROM b
+      UNION ALL SELECT ax, 'owl:annotatedProperty',
+                        'oboInOwl:hasExactSynonym', 'uri' FROM b
+      UNION ALL SELECT ax, 'owl:annotatedTarget', v, 'literal' FROM b
+      UNION ALL SELECT ax, 'oboInOwl:hasSynonymType', 'OMO:0003000', 'uri' FROM b
+    )
+    ORDER BY subject, predicate, object
+    """,
+)
+def q_omim_axiom_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2 — OWL axiom reification (reference add_axiom_annotations
+    main.py:120-134) under the gate, in the abbreviation-synonym shape
+    emit_entry_classes uses: each (class, abbrev) emits the synonym
+    triple plus a reified owl:Axiom (annotatedSource/Property/Target +
+    hasSynonymType OMO:0003000) whose bnode id the oracle recomputes
+    (18 expected rows = 3 pairs × 6 triples)."""
+    from omim_spark.triples import LIT, URI, emit_axiom_annotations
+
+    base = spark.createDataFrame(_SYN_ROWS, "s string, v string")
+    syn = base.select(
+        F.col("s").alias("subject"),
+        F.lit("oboInOwl:hasExactSynonym").alias("predicate"),
+        F.col("v").alias("object"),
+        F.lit(LIT).alias("obj_kind"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+    ax = emit_axiom_annotations(
+        base,
+        F.col("s"),
+        F.lit("oboInOwl:hasExactSynonym"),
+        F.col("v"),
+        LIT,
+        [("oboInOwl:hasSynonymType", F.lit("OMO:0003000"), URI)],
+    )
+    return (
+        syn.unionByName(ax)
+        .select("subject", "predicate", "object", "obj_kind")
+        .orderBy("subject", "predicate", "object")
+    )
+
+
+# (gene_mim, p_mim, evidence, orcid): one curator-sourced association
+# (orcid → extra oboInOwl:source triple) and one without.
+_BIDI_ROWS = [
+    ("118494", "100100", "3", "https://orcid.org/0000-0001-0000-0001"),
+    ("118500", "200100", "2", None),
+]
+
+_BIDI_DIR_SQL = """
+      SELECT 'OMIM:' || p_mim AS onc, 'RO:0004003' AS pred,
+             'OMIM:' || gene_mim AS svf, evidence, orcid FROM base
+      UNION ALL
+      SELECT 'OMIM:' || gene_mim, 'RO:0004013',
+             'OMIM:' || p_mim, evidence, orcid FROM base
+"""
+
+
+@register(
+    "q_omim_gene_disease_bidi",
+    oracle=f"""
+    WITH base AS (SELECT * FROM {_values_sql(_BIDI_ROWS, ["gene_mim", "p_mim", "evidence", "orcid"])}),
+    dirs AS ({_BIDI_DIR_SQL}),
+    d AS (
+      SELECT onc, pred, svf, evidence, orcid,
+             MD5('restriction|' || onc || '|' || pred || '|' || svf) AS b
+      FROM dirs
+    ),
+    dd AS (
+      SELECT *, MD5('axiom|' || onc || '|rdfs:subClassOf|' || b) AS ax FROM d
+    )
+    SELECT subject, predicate, object, obj_kind FROM (
+      SELECT b AS subject, 'rdf:type' AS predicate,
+             'owl:Restriction' AS object, 'uri' AS obj_kind FROM dd
+      UNION ALL SELECT b, 'owl:onProperty', pred, 'uri' FROM dd
+      UNION ALL SELECT b, 'owl:someValuesFrom', svf, 'uri' FROM dd
+      UNION ALL SELECT onc, 'rdfs:subClassOf', b, 'bnode' FROM dd
+      UNION ALL SELECT ax, 'rdf:type', 'owl:Axiom', 'uri' FROM dd
+      UNION ALL SELECT ax, 'owl:annotatedSource', onc, 'uri' FROM dd
+      UNION ALL SELECT ax, 'owl:annotatedProperty', 'rdfs:subClassOf', 'uri' FROM dd
+      UNION ALL SELECT ax, 'owl:annotatedTarget', b, 'bnode' FROM dd
+      UNION ALL SELECT ax, 'biolink:has_evidence', evidence, 'literal' FROM dd
+      UNION ALL SELECT ax, 'rdfs:comment', evidence, 'literal' FROM dd
+      UNION ALL SELECT ax, 'oboInOwl:source', orcid, 'uri' FROM dd
+                WHERE orcid IS NOT NULL
+    )
+    ORDER BY subject, predicate, object
+    """,
+)
+def q_omim_gene_disease_bidi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 — bidirectional gene↔disease emission (reference
+    main.py:189-199) under the gate: emit_gene_disease_associations
+    produces disease –RO:0004003→ gene AND gene –RO:0004013→ disease,
+    each as a subClassOf restriction with a reified evidence axiom
+    (has_evidence + rdfs:comment) and, when a curator orcid is
+    present, the oboInOwl:source annotation.  Every restriction and
+    axiom bnode id is recomputed by the oracle (42 expected rows:
+    2 assocs × 2 directions × (4 restriction + 6 axiom) + 2 orcid
+    rows on the curated association)."""
+    from omim_spark.triples import emit_gene_disease_associations
+
+    assoc = spark.createDataFrame(
+        _BIDI_ROWS, "gene_mim string, p_mim string, evidence string, orcid string"
+    )
+    return (
+        emit_gene_disease_associations(assoc)
         .select("subject", "predicate", "object", "obj_kind")
         .orderBy("subject", "predicate", "object")
     )

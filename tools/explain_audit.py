@@ -359,6 +359,23 @@ AUDITS: dict[str, dict] = {
             "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
         ],
     },
+    "q_omim_axiom_synonyms": {
+        # reified-axiom emission is pure JVM expression work: md5
+        # bnodes + array explode, never a Python operator or a join
+        "forbid": [
+            "CartesianProduct", "Join",
+            "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+    },
+    "q_omim_gene_disease_bidi": {
+        # both directions + evidence axioms emit from ONE pass over
+        # the assoc rows (union of expression projections) — no joins,
+        # no Python
+        "forbid": [
+            "CartesianProduct", "Join",
+            "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+    },
     "q_snapshot_diff": {
         # both snapshot filters reach the scan; the diff is one
         # full-outer shuffle join of two pre-aggregated snapshots
