@@ -92,6 +92,10 @@ _VERIFY_FIRST = [
     # md5 bnode id (previously builder-golden only).
     "q_omim_axiom_synonyms",
     "q_omim_gene_disease_bidi",
+    # NEW in round 9: G7 packed-id cross-reference emission under the
+    # gate (PMID/UMLS/ORPHANET unpack incl. NULL/empty/empty-segment
+    # packs).
+    "q_omim_xref_links",
     # Round 9: the mapInPandas decode loops dropped pdf.iterrows() for
     # column zips (r8 judge #5) and extract_audio_features now derives
     # duration from frames (n/channels, r8 ADVICE); the frames/audio

@@ -21,6 +21,8 @@ verified rows.
 - q_omim_axiom_synonyms / q_omim_gene_disease_bidi — the G1/G2 axiom
   reification and G5 bidirectional gene↔disease emitters, gated with
   oracle-recomputed md5 bnode ids (the G3/G4 determinism contract).
+- q_omim_xref_links — G7/T11 packed-id cross-reference emission with
+  NULL/empty/empty-segment pack handling proven by the oracle.
 
 Pattern precedent: q_equiv_cliques (workload/graphiter.py) — fixture
 rows inlined on the Spark side via createDataFrame and mirrored in the
@@ -439,5 +441,66 @@ def q_omim_gene_disease_bidi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emit_gene_disease_associations(assoc)
         .select("subject", "predicate", "object", "obj_kind")
+        .orderBy("subject", "predicate", "object")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G7: cross-references (packed-id links + exactMatch) under the gate.
+# ---------------------------------------------------------------------------
+
+# (mim, pmid_refs, umls_ids, orphanet_ids): the three packed columns
+# the pipeline unpacks (reference main.py:500-509), with the edge
+# shapes that matter — multi-id packs, a single id, NULL, the empty
+# string, and a pack with an empty segment ('111||222').
+_XREF_ROWS = [
+    ("100100", "111|222", "C0033770", "2970"),
+    ("118494", "333", None, ""),
+    ("200100", "", "C1853365|C0162871", None),
+    ("300100", "444||555", None, None),
+]
+
+
+@register(
+    "q_omim_xref_links",
+    oracle=f"""
+    WITH m AS (SELECT * FROM {_values_sql(_XREF_ROWS, ["mim", "pmid_refs", "umls_ids", "orphanet_ids"])}),
+    packs AS (
+      SELECT mim, pmid_refs AS packed, 'IAO:0000142' AS predicate, 'PMID:' AS pfx FROM m
+      UNION ALL
+      SELECT mim, umls_ids, 'skos:exactMatch', 'UMLS:' FROM m
+      UNION ALL
+      SELECT mim, orphanet_ids, 'skos:exactMatch', 'ORPHANET:' FROM m
+    ),
+    ids AS (
+      SELECT mim, predicate, pfx, UNNEST(STRING_SPLIT(packed, '|')) AS id
+      FROM packs WHERE packed IS NOT NULL AND packed != ''
+    )
+    SELECT 'OMIM:' || mim AS subject, predicate,
+           pfx || id AS object, 'uri' AS obj_kind
+    FROM ids WHERE id != ''
+    ORDER BY subject, predicate, object
+    """,
+)
+def q_omim_xref_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7/T11 — cross-reference emission from '|'-packed id cells
+    (reference main.py:500-509) under the gate: emit_packed_id_links
+    over the three production (column, predicate, prefix) triples
+    (PMID / UMLS / ORPHANET), with NULL, empty-string, and
+    empty-segment packs proving the unpack filters (9 expected
+    rows)."""
+    from omim_spark.triples import emit_packed_id_links, union_triples
+
+    m = spark.createDataFrame(
+        _XREF_ROWS,
+        "mim string, pmid_refs string, umls_ids string, orphanet_ids string",
+    )
+    out = union_triples(
+        emit_packed_id_links(m, "mim", "pmid_refs", "IAO:0000142", "PMID:"),
+        emit_packed_id_links(m, "mim", "umls_ids", "skos:exactMatch", "UMLS:"),
+        emit_packed_id_links(m, "mim", "orphanet_ids", "skos:exactMatch", "ORPHANET:"),
+    )
+    return (
+        out.select("subject", "predicate", "object", "obj_kind")
         .orderBy("subject", "predicate", "object")
     )

@@ -376,6 +376,15 @@ AUDITS: dict[str, dict] = {
             "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
         ],
     },
+    "q_omim_xref_links": {
+        # packed-id unpack is split+explode (Generate) — pure JVM
+        # expression work, no joins, no Python
+        "require": ["Generate"],
+        "forbid": [
+            "CartesianProduct", "Join",
+            "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+    },
     "q_snapshot_diff": {
         # both snapshot filters reach the scan; the diff is one
         # full-outer shuffle join of two pre-aggregated snapshots
