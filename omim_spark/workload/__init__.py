@@ -96,6 +96,9 @@ _VERIFY_FIRST = [
     # gate (PMID/UMLS/ORPHANET unpack incl. NULL/empty/empty-segment
     # packs).
     "q_omim_xref_links",
+    # NEW in round 9: T4/T5 former-partition + suffix-strip under the
+    # gate, incl. the case-sensitivity split the module docstring pins.
+    "q_omim_title_former_suffix",
     # Round 9: the mapInPandas decode loops dropped pdf.iterrows() for
     # column zips (r8 judge #5) and extract_audio_features now derives
     # duration from frames (n/channels, r8 ADVICE); the frames/audio

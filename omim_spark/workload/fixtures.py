@@ -23,6 +23,8 @@ verified rows.
   oracle-recomputed md5 bnode ids (the G3/G4 determinism contract).
 - q_omim_xref_links — G7/T11 packed-id cross-reference emission with
   NULL/empty/empty-segment pack handling proven by the oracle.
+- q_omim_title_former_suffix — T4/T5 former-partition + suffix-strip
+  incl. the case-insensitive-detect / case-sensitive-strip split.
 
 Pattern precedent: q_equiv_cliques (workload/graphiter.py) — fixture
 rows inlined on the Spark side via createDataFrame and mirrored in the
@@ -503,4 +505,71 @@ def q_omim_xref_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.select("subject", "predicate", "object", "obj_kind")
         .orderBy("subject", "predicate", "object")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T4/T5: former-title partition + suffix strip under the gate.
+# ---------------------------------------------------------------------------
+
+# (mim, alternative-titles cell) in the real mimTitles micro-format
+# (';;'-separated pairs).  Covers: plain titles, a ', FORMERLY'
+# marker, and the semantics split the module docstring pins — the
+# FORMER detection is case-INsensitive while the suffix strip is
+# case-SENSITIVE, so a lowercase ', formerly' routes to the former
+# partition but keeps its suffix.  NULL cells vanish (no rows).
+_FORMER_ROWS = [
+    ("100100", "ABDOMINAL MUSCLES, ABSENCE OF;; EAGLE-BARRETT SYNDROME; EGBRS"),
+    ("300100", "OLD NAME, FORMERLY;; SECOND ALT, INCLUDED;; THIRD ALT"),
+    ("200100", "THING, formerly;; KEEP ME"),
+    ("400100", None),
+]
+
+
+@register(
+    "q_omim_title_former_suffix",
+    oracle=f"""
+    WITH raw AS (SELECT * FROM {_values_sql(_FORMER_ROWS, ["mim", "cell"])}),
+    items AS (
+      SELECT mim, TRIM(x) AS t
+      FROM raw, UNNEST(STRING_SPLIT(cell, ';;')) AS u(x)
+      WHERE cell IS NOT NULL AND TRIM(x) != ''
+    )
+    SELECT mim,
+           CASE WHEN CONTAINS(UPPER(t), ', FORMERLY')
+                THEN 'former' ELSE 'current' END AS kind,
+           REGEXP_REPLACE(REGEXP_REPLACE(t, ',\\s*FORMERLY', '', 'g'),
+                          ',\\s*INCLUDED', '', 'g') AS title
+    FROM items
+    ORDER BY mim, kind, title
+    """,
+)
+def q_omim_title_former_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4+T5 — former-title partition (case-insensitive ', FORMERLY'
+    detection, reference omim_entry_parser.py:323-331) and suffix
+    strip (case-SENSITIVE ', FORMERLY'/', INCLUDED' removal,
+    omim_entry_parser.py:316-320) under the gate, over alternative-
+    title cells in the real ';;' micro-format.  The lowercase
+    ', formerly' row proves the deliberate case-sensitivity split:
+    routed to the former partition WITH its suffix intact."""
+    from omim_spark.titles import partition_former, strip_suffix_markers
+
+    raw = spark.createDataFrame(_FORMER_ROWS, "mim string, cell string")
+    items = F.filter(
+        F.transform(F.split(F.col("cell"), ";;"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    current, former = partition_former(items)
+
+    def side(arr, kind):
+        return raw.select(
+            "mim",
+            F.lit(kind).alias("kind"),
+            F.explode(arr).alias("t"),
+        ).select("mim", "kind", strip_suffix_markers(F.col("t")).alias("title"))
+
+    return (
+        side(current, "current")
+        .unionByName(side(former, "former"))
+        .orderBy("mim", "kind", "title")
     )

@@ -385,6 +385,15 @@ AUDITS: dict[str, dict] = {
             "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
         ],
     },
+    "q_omim_title_former_suffix": {
+        # split/filter/partition/strip are all array expressions +
+        # explode — no joins, no Python
+        "require": ["Generate"],
+        "forbid": [
+            "CartesianProduct", "Join",
+            "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+    },
     "q_snapshot_diff": {
         # both snapshot filters reach the scan; the diff is one
         # full-outer shuffle join of two pre-aggregated snapshots
