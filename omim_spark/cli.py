@@ -80,6 +80,10 @@ def refresh_sources(
     os.makedirs(data_dir, exist_ok=True)
     # mkstemp creates 0600; restore the umask-derived mode a plain
     # open() would have produced so landing doesn't tighten perms.
+    # NOTE: the probe (set-then-restore) briefly widens the
+    # process-wide umask — safe only because refresh_sources runs in
+    # the single-threaded CLI; do not call from threaded code without
+    # replacing the probe with a stat of an existing file (r9 ADVICE).
     umask = os.umask(0)
     os.umask(umask)
     for fname, text in staged:

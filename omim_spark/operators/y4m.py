@@ -120,7 +120,14 @@ def decode_y4m(data: bytes) -> tuple[dict, list[bytes]]:
     pos = nl + 1
     while pos < len(data):
         fnl = data.find(b"\n", pos)
-        if not data.startswith(b"FRAME", pos) or fnl < 0:
+        # Spec: the marker is FRAME followed by a space (parameters) or
+        # the newline itself — a corrupted marker like b'FRAMEXJUNK'
+        # must raise, not silently parse as a frame header (r9 ADVICE).
+        if (
+            not data.startswith(b"FRAME", pos)
+            or data[pos + 5 : pos + 6] not in (b" ", b"\n")
+            or fnl < 0
+        ):
             raise ValueError(f"expected FRAME marker at offset {pos}")
         body = data[fnl + 1 : fnl + 1 + size]
         if len(body) < size:

@@ -534,6 +534,7 @@ def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH vid AS (
       SELECT doc_id, text, (1 + doc_id % 4) AS n_frames
       FROM documents WHERE doc_id % 11 = 0 AND LENGTH(text) > 0
+        AND regexp_matches(text, '^[\\x00-\\x7f]*$')
     ),
     px AS (
       SELECT doc_id, i, j,
@@ -597,7 +598,13 @@ def q_multimodal_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     docs = table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 11 == 0) & (F.length("text") > 0)
+        (F.col("doc_id") % 11 == 0)
+        & (F.length("text") > 0)
+        # ASCII gate (r9 ADVICE): the pixel generator indexes UTF-8
+        # BYTES while the oracle indexes CHARACTERS — they agree only
+        # for pure-ASCII text, so the invariant is enforced explicitly
+        # on BOTH sides instead of inherited from the corpus.
+        & F.col("text").rlike(r"^[\x00-\x7F]*$")
     )
     n_frames = (1 + F.col("doc_id") % 4).cast("int")
     media = docs.select(

@@ -87,6 +87,14 @@ class TestMalformed:
         with pytest.raises(ValueError):
             decode_y4m(data)
 
+    def test_corrupted_frame_marker(self):
+        # The spec requires FRAME followed by space or newline; a
+        # corrupted marker that merely STARTS with FRAME must raise,
+        # not parse as a frame header (r9 ADVICE).
+        data = b"YUV4MPEG2 W2 H1 Cmono\nFRAMEXJUNK\nab"
+        with pytest.raises(ValueError):
+            decode_y4m(data)
+
     def test_unsupported_colorspace(self):
         with pytest.raises(NotImplementedError):
             decode_y4m(b"YUV4MPEG2 W2 H2 C410\nFRAME\n" + bytes(6))

@@ -36,16 +36,22 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, ".")
+# Repo-root-anchored, not cwd-relative (r9 ADVICE): the module is
+# imported by tests/test_pipeline_scale.py, so path setup must not
+# depend on where pytest was invoked, and sys.path mutation happens
+# inside the functions that need it, not at import time.
+_REPO_ROOT = Path(__file__).resolve().parent.parent
 
-_SCRATCH = Path(".scratch") / "pipeline_probe"
-
-# The synthetic source set from tests/conftest.py — the schema-faithful
-# fixture (FIXTURES.md) every golden test builds from.
-sys.path.insert(0, "tests")
+_SCRATCH = _REPO_ROOT / ".scratch" / "pipeline_probe"
 
 
 def _fixture_files() -> dict[str, str]:
+    # The synthetic source set from tests/conftest.py — the
+    # schema-faithful fixture (FIXTURES.md) every golden test builds
+    # from.
+    tests_dir = str(_REPO_ROOT / "tests")
+    if tests_dir not in sys.path:
+        sys.path.insert(0, tests_dir)
     from conftest import FILES
 
     return dict(FILES)
@@ -125,6 +131,9 @@ def run_build(spark, data_dir: str, ttl_path: str) -> tuple[float, int, float]:
 
 
 def main() -> int:
+    root = str(_REPO_ROOT)
+    if root not in sys.path:
+        sys.path.insert(0, root)
     from omim_spark.session import get_spark
 
     schedule = (
