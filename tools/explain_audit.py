@@ -394,6 +394,31 @@ AUDITS: dict[str, dict] = {
             "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
         ],
     },
+    "q_omim_title_cleanup": {
+        # the ONLY Python in the title pipeline is the two Arrow-
+        # batched pandas UDFs (cleanup + recapitalize) and the gate's
+        # detect column — never row-at-a-time BatchEvalPython, never
+        # a join
+        "require": ["ArrowEvalPython"],
+        "forbid": ["CartesianProduct", "Join", "BatchEvalPython"],
+    },
+    "q_omim_entry_classes": {
+        # type-conditional emission is a union of expression
+        # projections over ONE entries pass (explode of conditional
+        # struct arrays + md5 bnodes) — no joins, no Python
+        "require": ["Generate"],
+        "forbid": [
+            "CartesianProduct", "Join",
+            "MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+        ],
+    },
+    "q_multimodal_y4m_c420": {
+        # same shape as q_multimodal_y4m: encode UDF + container-walk
+        # extraction in mapInPandas, 2-col scan, join-free
+        "require": ["MapInPandas"],
+        "max_scan_cols": {"documents": 2},
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "q_snapshot_diff": {
         # both snapshot filters reach the scan; the diff is one
         # full-outer shuffle join of two pre-aggregated snapshots
