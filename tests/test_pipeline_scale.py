@@ -33,3 +33,16 @@ def test_triple_count_exactly_linear_in_replicas(spark, tmp_path):
     # the slope check is the real guard: cross-replica leakage adds
     # super-linear pair terms, dropped rows bend it sub-linear
     assert n20 - n5 == PER_REPLICA * 15
+
+
+def test_writer_probe_triples_are_distinct(spark):
+    """The writer probe's honesty guard: ttl_lines() runs distinct(),
+    so if tools/writer_scale_probe.synth_triples ever produced
+    duplicate rows the probe would silently serialize FEWER lines
+    than the row count it reports.  Pin distinct == n at small n."""
+    from tools.writer_scale_probe import synth_triples
+
+    n = 10_000
+    df = synth_triples(spark, n)
+    assert df.count() == n
+    assert df.distinct().count() == n

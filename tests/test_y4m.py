@@ -42,6 +42,33 @@ class TestRoundTrip:
         _, got = decode_y4m(data)
         assert got == [fr] * n_frames
 
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.sampled_from(["mono", "420", "420jpeg", "420paldv", "420mpeg2", "422", "444"]),
+        st.integers(1, 8).map(lambda x: x * 2),  # even dims: chroma subsample
+        st.integers(1, 6).map(lambda x: x * 2),
+        st.integers(0, 3),
+        st.randoms(use_true_random=False),
+    )
+    def test_property_roundtrip_all_colorspaces(
+        self, cs, width, height, n_frames, rng
+    ):
+        # every supported colorspace round-trips at its own
+        # frame-size arithmetic (w*h, *3/2, *2, *3), including the
+        # zero-frame stream
+        num, den = {"mono": (1, 1), "422": (2, 1), "444": (3, 1)}.get(
+            cs, (3, 2)
+        )
+        size = width * height * num // den
+        frames = [
+            bytes(rng.getrandbits(8) for _ in range(size))
+            for _ in range(n_frames)
+        ]
+        hdr, got = decode_y4m(
+            encode_y4m(frames, width=width, height=height, colorspace=cs)
+        )
+        assert got == frames and hdr["frame_size"] == size
+
     def test_empty_stream_has_header_no_frames(self):
         hdr, frames = decode_y4m(encode_y4m([], width=2, height=2))
         assert frames == [] and hdr["width"] == 2
