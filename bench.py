@@ -240,6 +240,10 @@ def main() -> None:
         )
         shutil.rmtree(scratch, ignore_errors=True)
         try:
+            # Fail-soft: a pipeline-tier failure must degrade to an
+            # "error" entry, never kill the whole bench artifact the
+            # driver records (the workload timings above are already
+            # measured by this point).
             synthesize(scratch / "data", replicas)
             # Warmup at 20 replicas: compiles the build's codegen/UDF
             # paths (the workload warmup doesn't touch them) without
@@ -261,6 +265,10 @@ def main() -> None:
                 "write_min": round(min(writes), 3),
                 "n": p_runs,
                 "triples": n_triples,
+            }
+        except Exception as e:  # noqa: BLE001
+            pipeline[f"pipeline_build_{replicas}x"] = {
+                "error": f"{type(e).__name__}: {e}"[:300]
             }
         finally:
             shutil.rmtree(scratch, ignore_errors=True)

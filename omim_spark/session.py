@@ -29,7 +29,21 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's defaults."""
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    The package root is exported on PYTHONPATH before the JVM starts:
+    pandas UDFs defined in omim_spark modules are pickled BY REFERENCE,
+    so executor-side Python workers must be able to import the package
+    — which a driver-side sys.path insert alone does not provide when
+    the process is launched from outside the repo (workers inherit the
+    env, not the driver's sys.path).  On a real cluster the same role
+    is played by shipping the package (--py-files / a wheel)."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pypath if pypath else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
