@@ -718,6 +718,10 @@ _ENTRY_COLS = (
 #  300100 HAS_AFFECTED_FEATURE, NO symbol → gene typing with label
 #         falling back to the preferred title
 #  400100 SUSPECTED → mondo:excludeTrait, no category
+#  500100 HERITABLE_PHENOTYPIC_MARKER → the OTHER phenotype type of
+#         the isin, categorized biolink:Disease
+#  600100 OBSOLETE, ZERO replacements → deprecated only (neither
+#         IAO:0100001 nor consider fires)
 _ENTRY_ROWS = [
     ("100100", "OBSOLETE", ["100200"], "REPLACED THING",
      [], [], [], [], [], [], [], [], []),
@@ -732,6 +736,10 @@ _ENTRY_ROWS = [
      [], [], [], [], [], [], [], [], []),
     ("400100", "SUSPECTED", [], "some trait",
      [], [], [], [], [], [], [], [], []),
+    ("500100", "HERITABLE_PHENOTYPIC_MARKER", [], "marker trait",
+     [], [], [], [], [], [], [], [], []),
+    ("600100", "OBSOLETE", [], "GONE, NO FORWARDING",
+     [], [], [], [], [], [], [], [], []),
 ]
 
 
@@ -744,7 +752,9 @@ _ENTRY_ROWS = [
         ('118494', 'GENE', 'cholinergic receptor, muscarinic, 3', 'CHRM3'),
         ('200100', 'PHENOTYPE', 'eagle-barrett syndrome', NULL),
         ('300100', 'HAS_AFFECTED_FEATURE', 'some gene feature', NULL),
-        ('400100', 'SUSPECTED', 'some trait', NULL)
+        ('400100', 'SUSPECTED', 'some trait', NULL),
+        ('500100', 'HERITABLE_PHENOTYPIC_MARKER', 'marker trait', NULL),
+        ('600100', 'OBSOLETE', 'GONE, NO FORWARDING', NULL)
       ) AS t(mim, typ, pref_title, pref_sym1)),
     reps AS (SELECT * FROM (VALUES
         ('100100', '100200'), ('100300', '100400'), ('100300', '100500')
@@ -869,17 +879,18 @@ _ENTRY_ROWS = [
 def q_omim_entry_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6 — per-entry class emission (triples.emit_entry_classes,
     reference main.py:270-374) under the gate: the full type-
-    conditional branch set over a six-entry fixture.  The oracle
+    conditional branch set over an eight-entry fixture.  The oracle
     re-derives every branch in SQL — obsolete handling (owl:deprecated
     + single-replacement IAO:0100001 vs multi-replacement
-    oboInOwl:consider), gene typing (SO:0000704 / mondo:nonDisease /
-    biolink:Gene) with the label preferring the gene SYMBOL and
-    falling back to the title when no symbol exists, phenotype
-    categorization, SUSPECTED exclusion, the included-labels comment,
+    oboInOwl:consider vs zero-replacement neither), gene typing
+    (SO:0000704 / mondo:nonDisease / biolink:Gene) with the label
+    preferring the gene SYMBOL and falling back to the title when no
+    symbol exists, BOTH phenotype types of the isin categorized
+    biolink:Disease, SUSPECTED exclusion, the included-labels comment,
     and all five synonym families with their reified axioms
     (OMO:0003000 on abbreviations, owl:deprecated on former names) —
-    recomputing every md5 axiom bnode independently (62 expected
-    rows: 3 + 4 + 12 + 33 + 6 + 4)."""
+    recomputing every md5 axiom bnode independently (68 expected
+    rows: 3 + 4 + 12 + 33 + 6 + 4 + 4 + 2)."""
     from omim_spark.triples import emit_entry_classes
 
     entries = spark.createDataFrame(_ENTRY_ROWS, _ENTRY_COLS)
