@@ -90,6 +90,10 @@ _VERIFY_FIRST = [
     # the mechanical flag through sample_video_frames → decode_y4m.
     "q_multimodal_y4m",
     "q_multimodal_frames",
+    # NEW in round 10 (late add): the full entries stage T3-T8
+    # COMPOSED via production transform_entries — the cross-list
+    # symbol-union recapitalization under the gate.
+    "q_omim_transform_entries",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

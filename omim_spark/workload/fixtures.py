@@ -899,3 +899,97 @@ def q_omim_entry_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subject", "predicate", "object", "obj_kind")
         .orderBy("subject", "predicate", "object")
     )
+
+
+# ---------------------------------------------------------------------------
+# The FULL entries stage (T3-T8 composed): parse_mim_titles-shaped rows
+# → entries.transform_entries → normalized columns, under the gate.
+# ---------------------------------------------------------------------------
+
+# (mim_number, omim_type, replaced_by, preferred_title,
+#  alternative_titles, included_titles) in the real mimTitles
+# micro-formats: pref 'TITLE; SYM1; SYM2', alt/included ';;'-separated
+# 'TITLE; SYM' pairs.  Covers: pref split + symbol slice, pair
+# parsing, FORMERLY partition + strip, roman conversion inside an alt
+# title, dictionary replacement on the pref title, recapitalization
+# from the UNION of all symbol lists (PBS harvested from the ALT pair
+# recapitalizes the PREF title), NULL alt/included cells → empty
+# arrays, and the obsolete row flowing through untouched.
+_TRANSFORM_ROWS = [
+    ("100100", "PHENOTYPE", [], "ABDOMINAL MUSCLES, ABSENCE OF; EGBRS",
+     "PRUNE BELLY SYNDROME; PBS;; OLD NAME, FORMERLY;; ANOTHER ALT TYPE IIB",
+     "INCLUDED THING, INCLUDED; ITI"),
+    ("200100", "GENE", [], "SYNDROME, PBS TYPE; XYZ", "THING; PBS", None),
+    ("300100", "OBSOLETE", ["300200"], "GONE THING", None, None),
+]
+
+# Expected normalized columns (arrays '|'-joined for hashability;
+# constants hand-verified against the reference semantics — see each
+# row's derivation in the docstring below).
+_TRANSFORM_EXPECTED = [
+    ("100100", "PHENOTYPE", "", "Abdominal muscles, absence of", "EGBRS",
+     "prune belly syndrome|another alt type 2b", "PBS", "old name", "",
+     "included thing", "ITI", "", ""),
+    ("200100", "GENE", "", "syndrome, PBS type", "XYZ", "thing", "PBS",
+     "", "", "", "", "", ""),
+    ("300100", "OBSOLETE", "300200", "gone thing", "", "", "", "", "",
+     "", "", "", ""),
+]
+
+_TRANSFORM_OUT_COLS = [
+    "mim_number", "omim_type", "replaced_by", "pref_title",
+    "pref_symbols", "alt_titles", "alt_symbols", "former_alt_titles",
+    "former_alt_symbols", "included_titles", "included_symbols",
+    "former_included_titles", "former_included_symbols",
+]
+
+
+@register(
+    "q_omim_transform_entries",
+    oracle=f"""
+    SELECT * FROM {_values_sql(_TRANSFORM_EXPECTED, _TRANSFORM_OUT_COLS)}
+    ORDER BY mim_number
+    """,
+)
+def q_omim_transform_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entries stage (reference main.py:288-307 orchestrating
+    omim_entry_parser.py:316-385) under the gate — T3 through T8
+    COMPOSED, exactly as the production pipeline runs them
+    (entries.transform_entries): preferred-title split with symbol
+    slice, ';;' pair parsing, case-insensitive FORMERLY partition +
+    case-sensitive suffix strip, cleanup_title (dictionary replacement
+    Abdominal; roman 'TYPE IIB'→'type 2b' inside an alt title), and
+    recapitalization against the UNION of every symbol list — row
+    200100 proves the cross-list union: 'PBS' harvested from the ALT
+    pair recapitalizes the PREF title 'syndrome, pbs type'→
+    'syndrome, PBS type'.  NULL alt/included cells become empty
+    arrays ('' joined), and the obsolete row's replaced_by flows
+    through.  Arrays are '|'-joined so the oracle pins constants."""
+    from omim_spark.entries import transform_entries
+
+    raw = spark.createDataFrame(
+        _TRANSFORM_ROWS,
+        "mim_number string, omim_type string, replaced_by array<string>, "
+        "preferred_title string, alternative_titles string, "
+        "included_titles string",
+    )
+    out = transform_entries(raw, {"abdominal": "Abdominal"})
+
+    def j(c):
+        return F.concat_ws("|", F.col(c)).alias(c)
+
+    return out.select(
+        "mim_number",
+        "omim_type",
+        j("replaced_by"),
+        "pref_title",
+        j("pref_symbols"),
+        j("alt_titles"),
+        j("alt_symbols"),
+        j("former_alt_titles"),
+        j("former_alt_symbols"),
+        j("included_titles"),
+        j("included_symbols"),
+        j("former_included_titles"),
+        j("former_included_symbols"),
+    ).orderBy("mim_number")
