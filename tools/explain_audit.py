@@ -402,6 +402,15 @@ AUDITS: dict[str, dict] = {
         "require": ["ArrowEvalPython"],
         "forbid": ["CartesianProduct", "Join", "BatchEvalPython"],
     },
+    "q_omim_transform_entries": {
+        # the full entries stage is ONE map stage (docstring contract
+        # of entries.transform_entries): Arrow-batched pandas UDFs for
+        # cleanup/recapitalize, column expressions for everything
+        # else — no joins, no shuffles beyond the final tiny sort, no
+        # row-at-a-time Python
+        "require": ["ArrowEvalPython"],
+        "forbid": ["CartesianProduct", "Join", "BatchEvalPython"],
+    },
     "q_omim_entry_classes": {
         # type-conditional emission is a union of expression
         # projections over ONE entries pass (explode of conditional
