@@ -53,9 +53,9 @@ from . import maintenance  # noqa: E402,F401
 #   since their green (ledger-enforced); green histogram
 #   {r4: 1 (hll, rows-only by design), r6: 35, r7: 46, r8: 47,
 #   r9: 50}.
-# - _VERIFY_FIRST stays MINIMAL (r9 VERDICT #3): only the three new
-#   r10 gates and the two queries the r10 code touches, so the ~45
-#   fill slots take ALL 35 r6-greens + the 10 oldest r7 rows — after
+# - _VERIFY_FIRST stays MINIMAL (r9 VERDICT #3): only the four new
+#   r10 gates and the two queries the r10 code touches, so the 44
+#   fill slots take ALL 35 r6-greens + the 9 oldest r7 rows — after
 #   r10 no driver-green row predates r7.
 # - q_events_hourly_hll is RETIRED from the registry (r9 VERDICT #4):
 #   its raw-HLL output was the one permanent rows-only row; the plan
