@@ -266,3 +266,45 @@ class TestAbbreviationParity:
         ref = oracle["recapitalize_acronyms_in_title"](title, known)
         ours = recapitalize_acronyms_py(title, sorted(known))
         assert ours == ref
+
+
+class TestDriverGateConstantsTraceToReference:
+    """The q_omim_title_cleanup gate (workload/fixtures.py) pins its
+    oracle as precomputed constants.  Recompute every constant HERE
+    from the reference's own exec'd functions, so the gate's goldens
+    are mechanically byte-traceable to the reference source, not just
+    asserted by the builder.  (strip_suffix_markers is replayed as a
+    regex because the reference's remove_included_and_formerly_suffixes
+    carries the count-argument bug our module docstring documents; all
+    gate rows use uppercase suffixes where both semantics agree.)"""
+
+    def test_gate_constants_match_reference(self, oracle):
+        import re as _re
+
+        from omim_spark.workload.fixtures import (
+            _TITLE_CLEANUP_EXPECTED,
+            _TITLE_CLEANUP_REPLACEMENTS,
+            _TITLE_CLEANUP_ROWS,
+        )
+
+        expected = {row[0]: row[1:] for row in _TITLE_CLEANUP_EXPECTED}
+        for rid, title, known in _TITLE_CLEANUP_ROWS:
+            want_clean, want_final, want_abbrevs = expected[rid]
+            if title is None:
+                assert (want_clean, want_final, want_abbrevs) == (
+                    None, None, None,
+                )
+                continue
+            stripped = _re.sub(
+                r",\s*INCLUDED", "", _re.sub(r",\s*FORMERLY", "", title)
+            )
+            ref_clean = oracle["cleanup_title"](
+                stripped, word_replacements=dict(_TITLE_CLEANUP_REPLACEMENTS)
+            )
+            assert ref_clean == want_clean, rid
+            ref_final = oracle["recapitalize_acronyms_in_title"](
+                ref_clean, set(known)
+            )
+            assert ref_final == want_final, rid
+            ref_abbrevs = "|".join(oracle["detect_abbreviations"](title))
+            assert ref_abbrevs == want_abbrevs, rid
