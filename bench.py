@@ -51,6 +51,14 @@ def _headline_fns() -> dict[str, object]:
     output, no oracle — e.g. the raw-HLL rollup) so bench continuity
     survives a query's retirement from the correctness gate."""
     fns = {n: qd.fn for n, qd in QUERIES.items() if qd.headline}
+    # register() only guards duplicates within QUERIES, so a collision
+    # with BENCH_ONLY would silently swap the gated headline plan for
+    # the bench-only one here — fail loudly instead (r10 ADVICE).
+    overlap = set(QUERIES) & set(BENCH_ONLY)
+    if overlap:
+        raise RuntimeError(
+            f"registry/BENCH_ONLY name collision: {sorted(overlap)}"
+        )
     fns.update(BENCH_ONLY)
     return dict(sorted(fns.items()))
 
@@ -227,23 +235,31 @@ def main() -> None:
     pipeline: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_PIPELINE", "") != "1":
         import shutil
-        from pathlib import Path
 
-        from tools.pipeline_scale_probe import run_build, synthesize
-
-        p_runs = max(1, int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "2")))
         replicas = int(os.environ.get("SPARK_GRAFT_PIPELINE_REPLICAS", "2000"))
-        scratch = (
-            Path(os.path.dirname(os.path.abspath(__file__)))
-            / ".scratch"
-            / "bench_pipeline"
-        )
-        shutil.rmtree(scratch, ignore_errors=True)
+        scratch = None
         try:
             # Fail-soft: a pipeline-tier failure must degrade to an
             # "error" entry, never kill the whole bench artifact the
             # driver records (the workload timings above are already
-            # measured by this point).
+            # measured by this point).  The probe import and scratch
+            # setup sit INSIDE the try for the same reason (r10
+            # ADVICE): tools.pipeline_scale_probe transitively imports
+            # tests/conftest, and an ImportError there must degrade
+            # the same way.
+            from pathlib import Path
+
+            from tools.pipeline_scale_probe import run_build, synthesize
+
+            p_runs = max(
+                1, int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "2"))
+            )
+            scratch = (
+                Path(os.path.dirname(os.path.abspath(__file__)))
+                / ".scratch"
+                / "bench_pipeline"
+            )
+            shutil.rmtree(scratch, ignore_errors=True)
             synthesize(scratch / "data", replicas)
             # Warmup at 20 replicas: compiles the build's codegen/UDF
             # paths (the workload warmup doesn't touch them) without
@@ -271,7 +287,8 @@ def main() -> None:
                 "error": f"{type(e).__name__}: {e}"[:300]
             }
         finally:
-            shutil.rmtree(scratch, ignore_errors=True)
+            if scratch is not None:
+                shutil.rmtree(scratch, ignore_errors=True)
 
     calib_after = _calibrate()
     load_after = os.getloadavg()

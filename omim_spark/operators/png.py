@@ -134,6 +134,11 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + tag + body + crc
         if tag == b"IHDR":
+            if len(body) != 13:
+                # A corrupt chunk-length truncates the body slice; without
+                # this gate struct.unpack raises struct.error, which is
+                # outside the documented error contract.
+                raise ValueError(f"PNG: IHDR body is {len(body)} bytes, want 13")
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )

@@ -206,6 +206,12 @@ def emit_entry_classes(entries: DataFrame) -> DataFrame:
     is_gene = F.col("omim_type").isin("GENE", "HAS_AFFECTED_FEATURE")
     is_pheno = F.col("omim_type").isin("PHENOTYPE", "HERITABLE_PHENOTYPIC_MARKER")
     n_replaced = F.size(F.coalesce(F.col("replaced_by"), F.array()))
+    # Only a REPLACED obsolete entry is fully suppressed — reference
+    # main.py:276-287 `continue`s only when omim_replaced is truthy;
+    # an unreplaced obsolete ('REMOVED FROM DATABASE') falls through
+    # and still gets its label/synonym/included triples (the type-
+    # category branches stay silent since OBSOLETE matches none).
+    suppressed = is_obsolete & (n_replaced > 0)
     has_included = (
         F.size(F.coalesce(F.col("included_titles"), F.array()))
         + F.size(F.coalesce(F.col("included_symbols"), F.array()))
@@ -228,25 +234,27 @@ def emit_entry_classes(entries: DataFrame) -> DataFrame:
                 F.concat(F.lit("OMIM:"), F.element_at(F.col("replaced_by"), 1)),
             ),
         ),
-        # Non-obsolete, type-conditional categorization
+        # Type-conditional categorization (never fires for OBSOLETE
+        # since the type tests exclude it; ~suppressed keeps the gate
+        # aligned with the reference's control flow)
         F.when(
-            ~is_obsolete & is_pheno,
+            ~suppressed & is_pheno,
             _t(uri, "biolink:category", "biolink:Disease"),
         ),
-        F.when(~is_obsolete & is_gene, _t(uri, "rdfs:subClassOf", "SO:0000704")),
+        F.when(~suppressed & is_gene, _t(uri, "rdfs:subClassOf", "SO:0000704")),
         F.when(
-            ~is_obsolete & is_gene,
+            ~suppressed & is_gene,
             _t(uri, "mondo:exclusionReason", "mondo:nonDisease"),
         ),
-        F.when(~is_obsolete & is_gene, _t(uri, "biolink:category", "biolink:Gene")),
+        F.when(~suppressed & is_gene, _t(uri, "biolink:category", "biolink:Gene")),
         F.when(
-            ~is_obsolete & (F.col("omim_type") == "SUSPECTED"),
+            ~suppressed & (F.col("omim_type") == "SUSPECTED"),
             _t(uri, "mondo:exclusionReason", "mondo:excludeTrait"),
         ),
-        F.when(~is_obsolete, _t(uri, "rdfs:label", label, LIT)),
-        F.when(~is_obsolete, _t(uri, "oboInOwl:hasExactSynonym", F.col("pref_title"), LIT)),
+        F.when(~suppressed, _t(uri, "rdfs:label", label, LIT)),
+        F.when(~suppressed, _t(uri, "oboInOwl:hasExactSynonym", F.col("pref_title"), LIT)),
         F.when(
-            ~is_obsolete & has_included,
+            ~suppressed & has_included,
             _t(
                 uri,
                 "rdfs:comment",
@@ -269,7 +277,7 @@ def emit_entry_classes(entries: DataFrame) -> DataFrame:
         )
     )
 
-    live = entries.filter(~is_obsolete)
+    live = entries.filter(~suppressed)
 
     def _explode_literal(col: str, pred: str) -> DataFrame:
         return (

@@ -47,53 +47,34 @@ from . import maintenance  # noqa: E402,F401
 # window is final — the driver then verifies exactly that code, making
 # the manifest the next round's "last driver-green" baseline.
 #
-# Round-10 window:
-# - entering round 10 the cumulative state is: CORRECTNESS_r09 50/50
-#   green; all 179 r9 queries driver-green with code AST-identical
-#   since their green (ledger-enforced); green histogram
-#   {r4: 1 (hll, rows-only by design), r6: 35, r7: 46, r8: 47,
-#   r9: 50}.
-# - _VERIFY_FIRST stays MINIMAL (r9 VERDICT #3): only the four new
-#   r10 gates and the two queries the r10 code touches, so the 44
-#   fill slots take ALL 35 r6-greens + the 9 oldest r7 rows — after
-#   r10 no driver-green row predates r7.
-# - q_events_hourly_hll is RETIRED from the registry (r9 VERDICT #4):
-#   its raw-HLL output was the one permanent rows-only row; the plan
-#   is still benched via registry.BENCH_ONLY and its exactness
-#   witness is the hash-gated q_events_hourly.  Every registered
-#   query is now hash-matchable — _VERIFY_LAST is empty.
-# - r10 session evidence: every windowed query verified vs the DuckDB
-#   oracle at sf0.001, sf0.01 and sf0.1 this session (COVERAGE.md);
-#   plan audit re-run; pytest green.  tests/ledger_manifest.json
-#   regenerated at end of round (python tools/ledger.py update
-#   --round 10).
+# Round-11 window:
+# - entering round 11 the cumulative state is: CORRECTNESS_r10 50/50
+#   green; all 182 registered queries driver-green AND hash-matchable
+#   with code AST-identical since their green (ledger-enforced);
+#   green histogram {r7: 37, r8: 47, r9: 48, r10: 50}.
+# - _VERIFY_FIRST stays MINIMAL: only the four queries round 11's
+#   code touches — q_omim_entry_classes (r10 ADVICE high: the
+#   zero-replacement-obsolete fall-through, reference main.py:276-287
+#   — emit_entry_classes now suppresses label/synonyms only for
+#   REPLACED obsoletes, and the fixture/oracle gained the 600100
+#   label+synonym rows, 68→70) and the three multimodal queries whose
+#   helper closure includes decode_png (the r10 VERDICT defect: a
+#   corrupt IHDR chunk-length now raises ValueError, not
+#   struct.error).  The 46 fill slots take ALL remaining r7-greens
+#   and the oldest r8 rows.
 _VERIFY_FIRST = [
-    # NEW in round 10 (r9 VERDICT #1): T6-T8 title pipeline
-    # (cleanup_title / detect_abbreviations / recapitalize_acronyms
-    # pandas UDFs) under the gate via reference-golden constants —
-    # roman conversion with suffixes and bounds, the 75% caps
-    # threshold, the dotted-acronym findall-group quirk, dictionary
-    # replacement, and the FORMERLY interplay.
-    "q_omim_title_cleanup",
-    # NEW in round 10 (r9 VERDICT #2): G6 per-entry class emission —
-    # the last builder-only emitter — with the oracle re-deriving
-    # every branch (obsolete/IAO/consider, gene label preference,
-    # SUSPECTED exclusion, five synonym families) and recomputing
-    # every md5 axiom bnode.
+    # CHANGED in round 11 (r10 ADVICE high): G6 per-entry class
+    # emission — an OBSOLETE entry with ZERO replacements falls
+    # through per the reference and keeps rdfs:label +
+    # hasExactSynonym; only replaced obsoletes are suppressed.
     "q_omim_entry_classes",
-    # NEW in round 10 (r9 VERDICT #8): Y4M in 4:2:0 — the C420
-    # planar frame-size arithmetic (w·h·3/2) under the oracle.
-    "q_multimodal_y4m_c420",
-    # Round 10: decode_y4m now rejects corrupted FRAME markers (r9
-    # ADVICE) and q_multimodal_y4m enforces its ASCII byte-vs-char
-    # invariant explicitly on both sides; q_multimodal_frames rides
-    # the mechanical flag through sample_video_frames → decode_y4m.
-    "q_multimodal_y4m",
+    # CHANGED in round 11 (r10 VERDICT defect): decode_png gained the
+    # IHDR body-length gate (struct.error → ValueError on corrupt
+    # chunk-length); these three ride the closure through
+    # operators/multimodal.py.
     "q_multimodal_frames",
-    # NEW in round 10 (late add): the full entries stage T3-T8
-    # COMPOSED via production transform_entries — the cross-list
-    # symbol-union recapitalization under the gate.
-    "q_omim_transform_entries",
+    "q_multimodal_features",
+    "q_multimodal_resize",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

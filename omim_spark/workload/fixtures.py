@@ -720,8 +720,11 @@ _ENTRY_COLS = (
 #  400100 SUSPECTED → mondo:excludeTrait, no category
 #  500100 HERITABLE_PHENOTYPIC_MARKER → the OTHER phenotype type of
 #         the isin, categorized biolink:Disease
-#  600100 OBSOLETE, ZERO replacements → deprecated only (neither
-#         IAO:0100001 nor consider fires)
+#  600100 OBSOLETE, ZERO replacements → deprecated, but FALLS
+#         THROUGH (reference main.py:276-287 `continue`s only when
+#         omim_replaced is truthy): neither IAO:0100001 nor consider
+#         fires, yet rdfs:label + hasExactSynonym(pref title) still
+#         emit; categories stay silent (OBSOLETE matches no type test)
 _ENTRY_ROWS = [
     ("100100", "OBSOLETE", ["100200"], "REPLACED THING",
      [], [], [], [], [], [], [], [], []),
@@ -770,15 +773,18 @@ _ENTRY_ROWS = [
     e AS (
       SELECT mim, typ, pref_title, pref_sym1, 'OMIM:' || mim AS uri,
              typ = 'OBSOLETE' AS obs,
+             -- reference main.py:276-287: only a REPLACED obsolete is
+             -- suppressed; an unreplaced one falls through
+             typ = 'OBSOLETE' AND mim IN (SELECT mim FROM reps) AS supp,
              typ IN ('GENE', 'HAS_AFFECTED_FEATURE') AS gene,
              typ IN ('PHENOTYPE', 'HERITABLE_PHENOTYPIC_MARKER') AS pheno
       FROM ents
     ),
     rc AS (SELECT mim, COUNT(*) AS n FROM reps GROUP BY mim),
     ab AS (
-      SELECT e.uri AS s, v FROM e JOIN pref_s ON e.mim = pref_s.mim WHERE NOT obs
+      SELECT e.uri AS s, v FROM e JOIN pref_s ON e.mim = pref_s.mim WHERE NOT supp
       UNION ALL
-      SELECT e.uri, v FROM e JOIN alt_s ON e.mim = alt_s.mim WHERE NOT obs
+      SELECT e.uri, v FROM e JOIN alt_s ON e.mim = alt_s.mim WHERE NOT supp
     ),
     abx AS (
       SELECT s, v, MD5('axiom|' || s || '|oboInOwl:hasExactSynonym|' || v) AS ax
@@ -787,17 +793,17 @@ _ENTRY_ROWS = [
     fat AS (
       SELECT e.uri AS s, v,
              MD5('axiom|' || e.uri || '|oboInOwl:hasRelatedSynonym|' || v) AS ax
-      FROM e JOIN former_alt_t ON e.mim = former_alt_t.mim WHERE NOT obs
+      FROM e JOIN former_alt_t ON e.mim = former_alt_t.mim WHERE NOT supp
     ),
     fas AS (
       SELECT e.uri AS s, v,
              MD5('axiom|' || e.uri || '|oboInOwl:hasRelatedSynonym|' || v) AS ax
-      FROM e JOIN former_alt_s ON e.mim = former_alt_s.mim WHERE NOT obs
+      FROM e JOIN former_alt_s ON e.mim = former_alt_s.mim WHERE NOT supp
     ),
     fit AS (
       SELECT e.uri AS s, v,
              MD5('axiom|' || e.uri || '|mondo:omim_included|' || v) AS ax
-      FROM e JOIN former_inc_t ON e.mim = former_inc_t.mim WHERE NOT obs
+      FROM e JOIN former_inc_t ON e.mim = former_inc_t.mim WHERE NOT supp
     )
     SELECT subject, predicate, object, obj_kind FROM (
       SELECT uri AS subject, 'rdf:type' AS predicate,
@@ -812,33 +818,33 @@ _ENTRY_ROWS = [
                JOIN rc ON rc.mim = e.mim AND rc.n > 1
         WHERE obs
       UNION ALL SELECT uri, 'biolink:category', 'biolink:Disease', 'uri'
-        FROM e WHERE NOT obs AND pheno
+        FROM e WHERE NOT supp AND pheno
       UNION ALL SELECT uri, 'rdfs:subClassOf', 'SO:0000704', 'uri'
-        FROM e WHERE NOT obs AND gene
+        FROM e WHERE NOT supp AND gene
       UNION ALL SELECT uri, 'mondo:exclusionReason', 'mondo:nonDisease', 'uri'
-        FROM e WHERE NOT obs AND gene
+        FROM e WHERE NOT supp AND gene
       UNION ALL SELECT uri, 'biolink:category', 'biolink:Gene', 'uri'
-        FROM e WHERE NOT obs AND gene
+        FROM e WHERE NOT supp AND gene
       UNION ALL SELECT uri, 'mondo:exclusionReason', 'mondo:excludeTrait', 'uri'
-        FROM e WHERE NOT obs AND typ = 'SUSPECTED'
+        FROM e WHERE NOT supp AND typ = 'SUSPECTED'
       UNION ALL SELECT uri, 'rdfs:label',
         CASE WHEN gene AND pref_sym1 IS NOT NULL THEN pref_sym1
              ELSE pref_title END, 'literal'
-        FROM e WHERE NOT obs
+        FROM e WHERE NOT supp
       UNION ALL SELECT uri, 'oboInOwl:hasExactSynonym', pref_title, 'literal'
-        FROM e WHERE NOT obs
+        FROM e WHERE NOT supp
       UNION ALL SELECT uri, 'rdfs:comment',
         'This term has one or more labels that end with '', INCLUDED''.',
         'literal'
-        FROM e WHERE NOT obs AND EXISTS (
+        FROM e WHERE NOT supp AND EXISTS (
           SELECT 1 FROM inc_t WHERE inc_t.mim = e.mim
           UNION ALL SELECT 1 FROM inc_s WHERE inc_s.mim = e.mim)
       UNION ALL SELECT e.uri, 'oboInOwl:hasExactSynonym', v, 'literal'
-        FROM e JOIN alt_t ON e.mim = alt_t.mim WHERE NOT obs
+        FROM e JOIN alt_t ON e.mim = alt_t.mim WHERE NOT supp
       UNION ALL SELECT e.uri, 'mondo:omim_included', v, 'literal'
-        FROM e JOIN inc_t ON e.mim = inc_t.mim WHERE NOT obs
+        FROM e JOIN inc_t ON e.mim = inc_t.mim WHERE NOT supp
       UNION ALL SELECT e.uri, 'mondo:omim_included', v, 'literal'
-        FROM e JOIN inc_s ON e.mim = inc_s.mim WHERE NOT obs
+        FROM e JOIN inc_s ON e.mim = inc_s.mim WHERE NOT supp
       -- abbreviation synonyms (pref + alt symbols): synonym + OMO axiom
       UNION ALL SELECT s, 'oboInOwl:hasExactSynonym', v, 'literal' FROM abx
       UNION ALL SELECT ax, 'rdf:type', 'owl:Axiom', 'uri' FROM abx
@@ -889,8 +895,12 @@ def q_omim_entry_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     biolink:Disease, SUSPECTED exclusion, the included-labels comment,
     and all five synonym families with their reified axioms
     (OMO:0003000 on abbreviations, owl:deprecated on former names) —
-    recomputing every md5 axiom bnode independently (68 expected
-    rows: 3 + 4 + 12 + 33 + 6 + 4 + 4 + 2)."""
+    recomputing every md5 axiom bnode independently.  Round 11: the
+    zero-replacement obsolete (600100) now exercises the reference's
+    fall-through (main.py:276-287 only `continue`s when a replacement
+    exists), gaining rdfs:label + hasExactSynonym on top of
+    owl:deprecated (70 expected rows: 3 + 4 + 12 + 33 + 6 + 4 + 4
+    + 4)."""
     from omim_spark.triples import emit_entry_classes
 
     entries = spark.createDataFrame(_ENTRY_ROWS, _ENTRY_COLS)
