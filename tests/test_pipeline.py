@@ -76,6 +76,30 @@ class TestEntryEmission:
         assert ("OMIM:100300", "oboInOwl:consider", "OMIM:118494") in tset
         # single-replacement predicate NOT used for multi
         assert ("OMIM:100300", "IAO:0100001", "OMIM:100100") not in tset
+        # REPLACED obsoletes are fully suppressed past the replacement
+        # triples (reference main.py:287 `continue`)
+        assert ("OMIM:100200", "rdfs:label", "moved to 100100") not in tset
+        assert not any(s == "OMIM:100300" and p == "rdfs:label" for s, p, _ in tset)
+
+    def test_obsolete_unreplaced_falls_through(self, tset):
+        # An obsolete entry with NO replacement ('REMOVED FROM
+        # DATABASE') falls through in the reference (main.py:276-287
+        # only `continue`s when omim_replaced is truthy) and keeps its
+        # label + exact synonym — 'removed from database' is the
+        # reference's own cleanup_title output, byte-checked by
+        # test_titles_reference_parity.
+        assert ("OMIM:100400", "owl:deprecated", "true") in tset
+        assert ("OMIM:100400", "rdfs:label", "removed from database") in tset
+        assert (
+            "OMIM:100400",
+            "oboInOwl:hasExactSynonym",
+            "removed from database",
+        ) in tset
+        # ...but never a replacement triple or a category
+        assert not any(
+            s == "OMIM:100400" and p in ("IAO:0100001", "oboInOwl:consider", "biolink:category")
+            for s, p, _ in tset
+        )
 
     def test_suspected_and_marker(self, tset):
         assert ("OMIM:200300", "mondo:exclusionReason", "mondo:excludeTrait") in tset
