@@ -132,6 +132,95 @@ class TestFuzzCorruptedValidStream:
             pass
 
 
+class TestFuzzDoubleCorruption:
+    """Two independent bit-flips: reaches states a single flip can't
+    (e.g. a corrupt chunk LENGTH plus a corrupt field behind it — the
+    family that exposed the r10 decode_png struct.error hole)."""
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.data())
+    def test_png_double(self, data):
+        base = bytearray(_valid_png())
+        for _ in range(2):
+            pos = data.draw(st.integers(0, len(base) - 1))
+            base[pos] ^= data.draw(st.integers(1, 255))
+        try:
+            decode_png(bytes(base))
+        except _PNG_OK:
+            pass
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.data())
+    def test_wav_double(self, data):
+        base = bytearray(_valid_wav())
+        for _ in range(2):
+            pos = data.draw(st.integers(0, len(base) - 1))
+            base[pos] ^= data.draw(st.integers(1, 255))
+        try:
+            decode_wav(bytes(base))
+        except _WAV_OK:
+            pass
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.data())
+    def test_y4m_double(self, data):
+        base = bytearray(_valid_y4m())
+        for _ in range(2):
+            pos = data.draw(st.integers(0, len(base) - 1))
+            base[pos] ^= data.draw(st.integers(1, 255))
+        try:
+            decode_y4m(bytes(base))
+        except _Y4M_OK:
+            pass
+
+
+class TestTruncationExhaustive:
+    """EVERY prefix of a valid stream (a few hundred cases per codec —
+    cheap and deterministic, so no sampling): a mid-stream cut is what
+    an interrupted object-store read hands the decoder."""
+
+    def test_png_all_prefixes(self):
+        base = _valid_png()
+        for cut in range(len(base)):
+            try:
+                decode_png(base[:cut])
+            except _PNG_OK:
+                pass
+
+    def test_wav_all_prefixes(self):
+        base = _valid_wav()
+        for cut in range(len(base)):
+            try:
+                decode_wav(base[:cut])
+            except _WAV_OK:
+                pass
+
+    def test_y4m_all_prefixes(self):
+        base = _valid_y4m()
+        for cut in range(len(base)):
+            try:
+                decode_y4m(base[:cut])
+            except _Y4M_OK:
+                pass
+
+
+def test_png_corrupt_ihdr_length_is_valueerror():
+    """Regression pin for the r10 verdict defect: a corrupted IHDR
+    chunk-length truncates the 13-byte body slice, which used to
+    surface as struct.error (outside the contract).  Build the case
+    deterministically instead of hoping a draw finds it."""
+    base = bytearray(_valid_png())
+    # bytes 8..12 are the IHDR chunk length (big-endian 13); force a
+    # huge length so the body slice runs past end-of-stream
+    base[8:12] = (2**31 - 1).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        decode_png(bytes(base))
+    # and a SHORT length: body present but not 13 bytes
+    base[8:12] = (5).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        decode_png(bytes(base))
+
+
 def test_error_types_are_the_documented_contract():
     """The allow-lists above ARE the contract: pin one representative
     per documented family so the lists can't silently widen."""
