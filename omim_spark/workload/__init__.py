@@ -75,6 +75,10 @@ _VERIFY_FIRST = [
     "q_multimodal_frames",
     "q_multimodal_features",
     "q_multimodal_resize",
+    # NEW in round 11: fuzzy benchmark decontamination — MinHash-
+    # banded candidates vs the held-out suite, true-Jaccard verified
+    # (the near-dup companion to q_decontaminate's exact-8-gram tier).
+    "q_decontaminate_fuzzy",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

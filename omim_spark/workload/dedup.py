@@ -748,6 +748,124 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy benchmark decontamination: MinHash-banded candidates against a
+# held-out evaluation suite, verified with true shingle Jaccard
+# ---------------------------------------------------------------------------
+
+CONTAM_BENCH_SOURCE = "src0"  # stands in for the evaluation suite
+CONTAM_J = 0.5  # contamination gates lower than dedup's 0.8
+
+
+@register(
+    "q_decontaminate_fuzzy",
+    oracle=f"""
+    WITH shs AS (
+      SELECT doc_id, source, UNNEST({SHINGLE_DUCK}) AS s
+      FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ),
+    sh AS (SELECT doc_id, s FROM shs),
+    mh AS ({_mh_cte_duck('sh')}),
+    bands AS (
+      SELECT doc_id, (j - 1) // 2 AS band,
+             MIN(CASE WHEN j % 2 = 1 THEN h END) || '|' ||
+             MIN(CASE WHEN j % 2 = 0 THEN h END) AS sig
+      FROM mh GROUP BY doc_id, (j - 1) // 2
+    ),
+    src AS (SELECT doc_id, source FROM documents),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
+      FROM bands t
+      JOIN src st ON t.doc_id = st.doc_id
+                 AND st.source <> '{CONTAM_BENCH_SOURCE}'
+      JOIN bands b ON t.band = b.band AND t.sig = b.sig
+      JOIN src sb ON b.doc_id = sb.doc_id
+                 AND sb.source = '{CONTAM_BENCH_SOURCE}'
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_id, c.bench_id, COUNT(*) AS n_common
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_id
+      JOIN sh y ON y.doc_id = c.bench_id AND y.s = x.s
+      GROUP BY c.doc_id, c.bench_id
+    ),
+    pairs AS (
+      SELECT i.doc_id,
+             CAST(n_common AS DOUBLE) / (st.n + sb.n - n_common) AS jac
+      FROM inter i
+      JOIN sizes st ON i.doc_id = st.doc_id
+      JOIN sizes sb ON i.bench_id = sb.doc_id
+    )
+    SELECT doc_id, COUNT(*) AS n_bench_matches, MAX(jac) AS max_jaccard
+    FROM pairs WHERE jac >= {CONTAM_J}
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination: training documents whose
+    3-gram shingle Jaccard against ANY held-out benchmark document
+    (source = CONTAM_BENCH_SOURCE) reaches CONTAM_J — the near-dup
+    companion to q_decontaminate's exact-8-gram tier, catching
+    paraphrased/reformatted eval leakage that exact n-gram overlap
+    misses (the GPT-3 appendix-C / Dodge et al. C4 protocol, banded
+    as in Lee et al. 2022).
+
+    Funnel: band_signatures on both sides (row-local, no explode —
+    the signature stage performs no shuffle), candidates = train
+    bands ⋈ benchmark bands, then true-Jaccard verification computed
+    ONLY for candidate train docs via the semi-join-before-explode
+    path (:func:`_shingles_hashed_of`).
+
+    Scale: the benchmark suite is small BY CONSTRUCTION (an eval
+    set, not a crawl) — the explicit broadcasts (bench bands, bench
+    shingles, bench sizes) are the same bounded-side argument as
+    q_decontaminate's broadcast semi join, NOT the corpus-
+    proportional candidate-id broadcast that SCALING.md's 100×
+    probe vetoed; the train corpus never shuffles its full shingle
+    table (only candidate docs explode), so cost tracks
+    |candidates|, not |corpus|."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+    train = docs.filter(F.col("source") != CONTAM_BENCH_SOURCE)
+    bench_bands = band_signatures(bench).withColumnRenamed("doc_id", "bench_id")
+    cand = (
+        band_signatures(train)
+        .join(F.broadcast(bench_bands), ["band", "sig"])
+        .select("doc_id", "bench_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    tsh = _shingles_hashed_of(
+        train.join(cand.select("doc_id").distinct(), "doc_id", "semi")
+    )
+    bsh = _shingles_hashed_of(bench).withColumnRenamed("doc_id", "bench_id")
+    sizes_t = tsh.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    sizes_b = bsh.groupBy("bench_id").agg(F.count("*").alias("nb"))
+    inter = (
+        cand.join(tsh, "doc_id")
+        .join(F.broadcast(bsh), ["bench_id", "s"])
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("nt") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(sizes_t, "doc_id")
+        .join(F.broadcast(sizes_b), "bench_id")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= CONTAM_J)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bench_matches"),
+            F.max("jac").alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fuzzy (edit-distance) entity matching over canonicalized names
 # ---------------------------------------------------------------------------
 

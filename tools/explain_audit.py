@@ -699,6 +699,12 @@ MEASURED_AUDITS: dict[str, dict] = {
     'q_zorder_locality': {'max_scan_cols': {'events': 2}, 'forbid': ['CartesianProduct']},
     'q_dedup_normalized': {'max_scan_cols': {'documents': 2}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
     'q_dedup_lsh_capped': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
+    # r11: fuzzy decontamination — the bench side (bands, shingles,
+    # sizes) is broadcast-by-construction; the scan stays 3-col
+    # (doc_id, text, source) and all shingle work is JVM expressions
+    'q_decontaminate_fuzzy': {'min_bhj': 3, 'max_scan_cols': {'documents': 3},
+                              'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin',
+                                         'BatchEvalPython', 'ArrowEvalPython', 'MapInPandas']},
     'q_ann_ivf_stored': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
     'q_linear_fit': {'max_scan_cols': {'events': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
     'q_perplexity_filter': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
