@@ -79,6 +79,11 @@ _VERIFY_FIRST = [
     # banded candidates vs the held-out suite, true-Jaccard verified
     # (the near-dup companion to q_decontaminate's exact-8-gram tier).
     "q_decontaminate_fuzzy",
+    # NEW in round 11: its online tier — a REAL stream-static
+    # broadcast join (the one Structured Streaming pattern the other
+    # nine stream gates don't exercise): streaming train docs banded
+    # row-locally against the static benchmark band table.
+    "q_stream_decontaminate",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

@@ -556,3 +556,61 @@ class TestStateTTL:
             f"TTL store holds {resident_ttl} rows — eviction is not "
             f"keeping state near the active window ({wave})"
         )
+
+
+class TestStreamStaticJoin:
+    """Stream-static broadcast join (q_stream_decontaminate's
+    machinery): per-micro-batch correctness — the static band table is
+    re-joined against EVERY micro-batch, and the union of batch
+    outputs must equal the batch-mode band join regardless of how the
+    stream is split into batches."""
+
+    def test_multi_batch_union_matches_batch_join(self, spark, tmp_path):
+        from omim_spark.workload.dedup import (
+            CONTAM_BENCH_SOURCE,
+            band_signatures,
+        )
+        from omim_spark.workload.registry import table
+
+        docs = table(spark, SF_DIR, "documents")
+        train = docs.filter(F.col("source") != CONTAM_BENCH_SOURCE).select(
+            "doc_id", "text"
+        )
+        bench_bands = (
+            band_signatures(
+                docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
+            )
+            .withColumnRenamed("doc_id", "bench_id")
+            .localCheckpoint(eager=True)
+        )
+        # batch truth
+        expected = {
+            (r.doc_id, r.bench_id)
+            for r in band_signatures(train)
+            .join(bench_bands, ["band", "sig"])
+            .select("doc_id", "bench_id")
+            .distinct()
+            .collect()
+        }
+
+        src = str(tmp_path / "src")
+        train.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = str(tmp_path / "sink")
+        run_to_completion(
+            band_signatures(stream)
+            .join(F.broadcast(bench_bands), ["band", "sig"])
+            .select("doc_id", "bench_id"),
+            sink,
+            str(tmp_path / "ckpt"),
+        )
+        got = {
+            (r.doc_id, r.bench_id)
+            for r in spark.read.parquet(sink).distinct().collect()
+        }
+        assert got == expected
