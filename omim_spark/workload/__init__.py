@@ -52,16 +52,18 @@ from . import maintenance  # noqa: E402,F401
 #   green; all 182 registered queries driver-green AND hash-matchable
 #   with code AST-identical since their green (ledger-enforced);
 #   green histogram {r7: 37, r8: 47, r9: 48, r10: 50}.
-# - _VERIFY_FIRST stays MINIMAL: only the four queries round 11's
-#   code touches — q_omim_entry_classes (r10 ADVICE high: the
+# - _VERIFY_FIRST stays MINIMAL: the four queries round 11's fixes
+#   touch — q_omim_entry_classes (r10 ADVICE high: the
 #   zero-replacement-obsolete fall-through, reference main.py:276-287
 #   — emit_entry_classes now suppresses label/synonyms only for
 #   REPLACED obsoletes, and the fixture/oracle gained the 600100
 #   label+synonym rows, 68→70) and the three multimodal queries whose
 #   helper closure includes decode_png (the r10 VERDICT defect: a
 #   corrupt IHDR chunk-length now raises ValueError, not
-#   struct.error).  The 46 fill slots take ALL remaining r7-greens
-#   and the oldest r8 rows.
+#   struct.error) — plus the two NEW r11 gates (fuzzy + streaming
+#   decontamination).  The 44 fill slots take ALL 37 remaining
+#   r7-greens and the 7 oldest r8 rows — after r11 no driver-green
+#   row predates r8.
 _VERIFY_FIRST = [
     # CHANGED in round 11 (r10 ADVICE high): G6 per-entry class
     # emission — an OBSOLETE entry with ZERO replacements falls
