@@ -86,6 +86,17 @@ _VERIFY_FIRST = [
     # nine stream gates don't exercise): streaming train docs banded
     # row-locally against the static benchmark band table.
     "q_stream_decontaminate",
+    # CHANGED in round 11: TZ hardening, found by the r11
+    # TZ=America/New_York full-registry sweep (both drifted on a
+    # non-UTC host while the driver's UTC box masked it) —
+    # q_events_sliding_window's ORACLE used TO_TIMESTAMP
+    # (TIMESTAMPTZ: STRFTIME renders in the SYSTEM zone; fixed with
+    # plain MAKE_TIMESTAMP), and q_latest_per_key returned a raw
+    # TimestampType, which PySpark row collection localizes to the
+    # SYSTEM zone regardless of the session pin (fixed by rendering
+    # JVM-side with date_format under the UTC session).
+    "q_events_sliding_window",
+    "q_latest_per_key",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

@@ -268,7 +268,12 @@ def q_user_activity_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH slid AS (
       SELECT event_type, value,
-             TO_TIMESTAMP((EPOCH_US(ts) // 1800000000 + s) * 1800) AS w_start
+             -- MAKE_TIMESTAMP(us) yields a PLAIN timestamp; TO_TIMESTAMP
+             -- returns TIMESTAMPTZ, which STRFTIME would render in the
+             -- SYSTEM zone — wrong whenever the host isn't UTC (the
+             -- Spark side is session-pinned to UTC by events_table)
+             MAKE_TIMESTAMP((EPOCH_US(ts) // 1800000000 + s) * 1800000000)
+               AS w_start
       FROM events
       CROSS JOIN (SELECT UNNEST([0, -1]) AS s)
     )
@@ -894,7 +899,8 @@ def q_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_latest_per_key",
     oracle="""
-    SELECT user_id, ts, event_type, value
+    SELECT user_id, STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           event_type, value
     FROM (
       SELECT user_id, ts, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -923,6 +929,16 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("user_id", "ts", "event_type", "value")
+        .select(
+            "user_id",
+            # Render JVM-side under the UTC session pin: a raw
+            # TimestampType survives the plan TZ-correctly but
+            # PySpark's row collection localizes it to the SYSTEM
+            # zone — the one leak the session pin cannot cover
+            # (caught by the r11 TZ=America/New_York full sweep).
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+            "value",
+        )
         .orderBy("user_id")
     )
