@@ -97,6 +97,11 @@ _VERIFY_FIRST = [
     # JVM-side with date_format under the UTC session).
     "q_events_sliding_window",
     "q_latest_per_key",
+    # NEW in round 11: S9's line rendering promoted from builder-only
+    # to driver-gated — ttl_lines is a pure projection, so the oracle
+    # rebuilds every byte (escape chain order, ^^ datatypes, bnode
+    # detection/rendering, rdf:type-first ordering, distinct).
+    "q_omim_ttl_lines",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

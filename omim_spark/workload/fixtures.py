@@ -1003,3 +1003,110 @@ def q_omim_transform_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         j("former_included_titles"),
         j("former_included_symbols"),
     ).orderBy("mim_number")
+
+
+# ---------------------------------------------------------------------------
+# S9 under the gate (round 11): the TTL serializer's line rendering.
+# ttl_lines (io/writers.py) is a pure projection — escaping, term
+# rendering, bnode detection, predicate ordering, dedup — so the
+# oracle can rebuild every byte in SQL.  write_ttl's FILE plumbing
+# (header, relay-vs-sharded dispatch, byte-identity of both paths)
+# stays pytest-pinned in test_writers.py / test_pipeline.py.
+# ---------------------------------------------------------------------------
+
+_BNODE_ID = "abcdef0123456789abcdef0123456789"
+
+# Designed to hit every rendering rule: escaping (backslash FIRST,
+# then quote/\n/\r/\t), typed literal (^^xsd:boolean), bnode SUBJECT
+# (md5-shaped) and bnode OBJECT (_: prefix), rdf:type sorting before
+# alphabetical predicates, uri-subject blocks before bnode blocks,
+# and an exact-duplicate row that distinct() must collapse.
+_TTL_ROWS = [
+    ("OMIM:100100", "rdf:type", "owl:Class", "uri", None),
+    ("OMIM:100100", "rdfs:label", 'has "quotes" and \\ backslash',
+     "literal", None),
+    ("OMIM:100100", "rdfs:comment", "line1\nline2\ttab\rcr", "literal", None),
+    ("OMIM:100100", "owl:deprecated", "true", "literal", "xsd:boolean"),
+    ("OMIM:100100", "rdfs:subClassOf", _BNODE_ID, "bnode", None),
+    (_BNODE_ID, "rdf:type", "owl:Axiom", "uri", None),
+    (_BNODE_ID, "owl:annotatedSource", "OMIM:100100", "uri", None),
+    # exact duplicate of the first row — must land ONCE
+    ("OMIM:100100", "rdf:type", "owl:Class", "uri", None),
+]
+
+
+@register(
+    "q_omim_ttl_lines",
+    oracle=f"""
+    WITH raw AS (SELECT DISTINCT * FROM (VALUES
+        ('OMIM:100100', 'rdf:type', 'owl:Class', 'uri', NULL),
+        ('OMIM:100100', 'rdfs:label',
+         'has "quotes" and ' || CHR(92) || ' backslash', 'literal', NULL),
+        ('OMIM:100100', 'rdfs:comment',
+         'line1' || CHR(10) || 'line2' || CHR(9) || 'tab' || CHR(13) || 'cr',
+         'literal', NULL),
+        ('OMIM:100100', 'owl:deprecated', 'true', 'literal', 'xsd:boolean'),
+        ('OMIM:100100', 'rdfs:subClassOf', '{_BNODE_ID}', 'bnode', NULL),
+        ('{_BNODE_ID}', 'rdf:type', 'owl:Axiom', 'uri', NULL),
+        ('{_BNODE_ID}', 'owl:annotatedSource', 'OMIM:100100', 'uri', NULL),
+        ('OMIM:100100', 'rdf:type', 'owl:Class', 'uri', NULL)
+      ) AS t(subject, predicate, object, obj_kind, datatype)),
+    esc AS (
+      SELECT *,
+             REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(object,
+               CHR(92), CHR(92) || CHR(92)),
+               '"', CHR(92) || '"'),
+               CHR(10), CHR(92) || 'n'),
+               CHR(13), CHR(92) || 'r'),
+               CHR(9), CHR(92) || 't') AS esc_obj,
+             REGEXP_MATCHES(subject, '^[0-9a-f]{{32}}$') AS subj_bn
+      FROM raw
+    ),
+    lines AS (
+      SELECT CASE WHEN subj_bn THEN '_:' || subject ELSE subject END
+               || ' ' || predicate || ' '
+               || CASE WHEN obj_kind = 'bnode' THEN '_:' || object
+                       WHEN obj_kind = 'literal' THEN
+                         '"' || esc_obj || '"' ||
+                         CASE WHEN datatype IS NOT NULL
+                              THEN '^^' || datatype ELSE '' END
+                       ELSE object END
+               || ' .' AS line,
+             CASE WHEN subj_bn THEN '1' ELSE '0' END AS flag,
+             subject,
+             CASE WHEN predicate = 'rdf:type' THEN '0' ELSE '1' END AS pord,
+             predicate, object
+      FROM esc
+    )
+    SELECT ROW_NUMBER() OVER (
+             ORDER BY flag, subject, pord, predicate, object
+           ) AS pos, line
+    FROM lines
+    ORDER BY pos
+    """,
+)
+def q_omim_ttl_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 TTL serializer rendering under the gate (io/writers.py
+    ttl_lines; reference serializes via rdflib, main.py:528) — the
+    oracle rebuilds every byte: the escape chain in ITS order
+    (backslash first, then quote/newline/CR/tab), typed-literal
+    ``^^`` suffixes, md5-shaped bnode SUBJECT detection and ``_:``
+    rendering for bnode objects, rdf:type-first predicate ordering
+    inside a subject block, uri-blocks-before-bnode-blocks, and
+    distinct() collapsing an exact-duplicate triple.  The sort is
+    re-derived from the components (the engine's \\x00-joined
+    sort_key equals component-tuple order because components are
+    NUL-free — DuckDB VARCHAR cannot hold NUL at all)."""
+    from pyspark.sql import Window
+
+    from omim_spark.io.writers import ttl_lines
+    from omim_spark.schemas import TRIPLES
+
+    df = spark.createDataFrame(_TTL_ROWS, TRIPLES)
+    w = Window.orderBy("sort_key")
+    return (
+        ttl_lines(df)
+        .withColumn("pos", F.row_number().over(w))
+        .select("pos", "line")
+        .orderBy("pos")
+    )
