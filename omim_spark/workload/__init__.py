@@ -102,6 +102,12 @@ _VERIFY_FIRST = [
     # rebuilds every byte (escape chain order, ^^ datatypes, bnode
     # detection/rendering, rdf:type-first ordering, distinct).
     "q_omim_ttl_lines",
+    # NEW in round 11: two more builder-only surfaces promoted via
+    # the scratch-file pattern — the S2/S3/F1 comment-aware reader +
+    # mimTitles parser through a REAL file scan, and the S10/S11/S13
+    # report sinks' exact bytes (ROBOT subheader, RFC-4180 quoting).
+    "q_omim_reader_parse",
+    "q_omim_report_sinks",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

@@ -1110,3 +1110,161 @@ def q_omim_ttl_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pos", "line")
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# S2/S3/F1 under the gate (round 11): the comment-aware reader +
+# parse_mim_titles, driven through a REAL file scan (scratch file,
+# same pattern as the stream gates' scratch parquet) instead of an
+# inline DataFrame — so the scan's comment option, null-ification of
+# empty cells, and the parser's trim/filter/MOVED-TO repair are all
+# under the oracle.
+# ---------------------------------------------------------------------------
+
+_MIM_TITLES_CONTENT = """\
+# Copyright (c) synthetic
+# Prefix\tMIM Number\tPreferred Title; symbol\tAlternative Title(s); symbol(s)\tIncluded Title(s); symbols
+Asterisk\t100100\tGENE THING; GT\tALT ONE; AO\tINC ONE; IO
+Caret\t100200\tMOVED TO 100100\t\t
+Caret\t100300\tMOVED TO 100100 AND 100400\t\t
+Caret\t100500\tREMOVED FROM DATABASE\t\t
+Number Sign\t100400\t  PADDED TITLE  \t\t
+Percent\t100600\tMARKER THING\t\t
+Plus\t100700\tGENE PHENO; GP\t\t
+\t100800\tSUSPECTED THING\t\t
+# END OF FILE
+"""
+
+
+@register(
+    "q_omim_reader_parse",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('100100', 'GENE', 'GENE THING; GT', 'ALT ONE; AO', 'INC ONE; IO',
+       CAST(NULL AS VARCHAR)),
+      ('100200', 'OBSOLETE', 'MOVED TO 100100', NULL, NULL, '100100'),
+      ('100300', 'OBSOLETE', 'MOVED TO 100100 AND 100400', NULL, NULL,
+       '100100|100400'),
+      ('100400', 'PHENOTYPE', 'PADDED TITLE', NULL, NULL, NULL),
+      ('100500', 'OBSOLETE', 'REMOVED FROM DATABASE', NULL, NULL, ''),
+      ('100600', 'HERITABLE_PHENOTYPIC_MARKER', 'MARKER THING', NULL, NULL,
+       NULL),
+      ('100700', 'HAS_AFFECTED_FEATURE', 'GENE PHENO; GP', NULL, NULL, NULL),
+      ('100800', 'SUSPECTED', 'SUSPECTED THING', NULL, NULL, NULL)
+    ) AS t(mim_number, omim_type, preferred_title, alternative_titles,
+           included_titles, replaced)
+    ORDER BY mim_number
+    """,
+)
+def q_omim_reader_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3/F1 + the mimTitles parser under the gate, through a REAL
+    file scan (reference omim_txt_parser.py:87-121,200-207 strips '#'
+    lines manually; here the scan's comment option does it).  The
+    oracle pins: comment stripping (copyright header, the commented
+    header line, the trailing '# END OF FILE'), empty-cell → NULL,
+    whitespace trim ('  PADDED TITLE  '), every prefix-word → type
+    mapping including NULL-prefix → SUSPECTED, and the Caret repair —
+    'MOVED TO a AND b' → the replacement list with 'AND' dropped
+    ('100100|100400'), 'REMOVED FROM DATABASE' → EMPTY array ('')
+    distinct from non-obsolete NULL."""
+    import os
+    import shutil
+    import tempfile
+
+    from omim_spark import parse as parse_mod
+    from omim_spark.io import readers
+
+    d = tempfile.mkdtemp(prefix="reader_gate_")
+    try:
+        path = os.path.join(d, "mimTitles.txt")
+        with open(path, "w") as f:
+            f.write(_MIM_TITLES_CONTENT)
+        df = parse_mod.parse_mim_titles(readers.read_mim_titles(spark, path))
+        return (
+            df.select(
+                "mim_number",
+                "omim_type",
+                "preferred_title",
+                "alternative_titles",
+                "included_titles",
+                F.when(
+                    F.col("replaced_by").isNotNull(),
+                    F.concat_ws("|", "replaced_by"),
+                ).alias("replaced"),
+            )
+            .orderBy("mim_number")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# S10/S11/S13/O2 under the gate (round 11): the report sinks' bytes.
+# write_tsv / write_csv stream driver-side, so the gate runs them on
+# scratch files and returns the FULL file content per artifact — the
+# oracle holds the exact expected bytes (ROBOT subheader prepend,
+# None → '' in TSV, RFC-4180 quoting for comma/quote/newline in CSV,
+# order_by applied before the relay).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_omim_report_sinks",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('analysis_csv',
+       'id,name,note' || CHR(10) ||
+       '1,plain,x' || CHR(10) ||
+       '2,"has,comma",y' || CHR(10) ||
+       '3,"has ""quote"\"",z' || CHR(10) ||
+       '4,"multi' || CHR(10) || 'line",w' || CHR(10)),
+      ('report_tsv',
+       'id' || CHR(9) || 'name' || CHR(9) || 'note' || CHR(10) ||
+       'ID' || CHR(9) || '>A foo' || CHR(9) || CHR(10) ||
+       '1' || CHR(9) || 'alpha' || CHR(9) || 'plain' || CHR(10) ||
+       '2' || CHR(9) || 'beta' || CHR(9) || CHR(10))
+    ) AS t(artifact, content)
+    ORDER BY artifact
+    """,
+)
+def q_omim_report_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/S11/S13 + O2 under the gate: run the REAL sinks (write_tsv
+    with a ROBOT-directive subheader — reference main.py:512-519,
+    mondo_omim_genes_robot_tsv.py:11-41 — and the RFC-4180 write_csv
+    the analyses use) on scratch files and hash their exact bytes.
+    Pins: header row, subheader PREPEND before data, order_by applied
+    before the driver relay (input rows arrive unsorted), None → ''
+    in TSV, and CSV quoting of comma / doubled-quote / embedded
+    newline cells."""
+    import os
+    import shutil
+    import tempfile
+
+    from omim_spark.io.writers import write_csv, write_tsv
+
+    d = tempfile.mkdtemp(prefix="sink_gate_")
+    try:
+        tsv_df = spark.createDataFrame(
+            [(2, "beta", None), (1, "alpha", "plain")],
+            "id int, name string, note string",
+        )
+        write_tsv(
+            tsv_df, os.path.join(d, "r.tsv"), ["id"],
+            subheader=["ID", ">A foo", ""],
+        )
+        csv_df = spark.createDataFrame(
+            [(2, "has,comma", "y"), (1, "plain", "x"),
+             (3, 'has "quote"', "z"), (4, "multi\nline", "w")],
+            "id int, name string, note string",
+        )
+        write_csv(csv_df, os.path.join(d, "a.csv"), ["id"])
+        rows = [
+            ("analysis_csv", open(os.path.join(d, "a.csv")).read()),
+            ("report_tsv", open(os.path.join(d, "r.tsv")).read()),
+        ]
+        return spark.createDataFrame(
+            rows, "artifact string, content string"
+        ).orderBy("artifact")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
