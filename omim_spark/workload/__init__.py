@@ -108,6 +108,11 @@ _VERIFY_FIRST = [
     # report sinks' exact bytes (ROBOT subheader, RFC-4180 quoting).
     "q_omim_reader_parse",
     "q_omim_report_sinks",
+    # NEW in round 11: S4 typed cache scan + F10 HGNC gate skip-path
+    # through real header-TSV scans, and T13 CURIE↔URI rewrites with
+    # longest-prefix-first recovery and roundtrip identity.
+    "q_omim_typed_cache_scan",
+    "q_omim_uri_curie_roundtrip",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

@@ -1268,3 +1268,154 @@ def q_omim_report_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("artifact")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# S4 + F10 under the gate (round 11): the typed cache scan
+# (BooleanType parsing through a REAL header TSV scan) and the HGNC
+# null-quality gate's skip path.  The gate's FAIL path (>1% bad →
+# HgncQualityError) is driver-side control flow, pytest-pinned in
+# test_parse.py::TestHgncGate.
+# ---------------------------------------------------------------------------
+
+_CACHE_TSV_CONTENT = """\
+mim\tis_phenotype\tdate_fetched\tpmid_refs
+100100\tTrue\t2024-01-02\t111|222
+100200\tFalse\t2024-02-03\t
+100300\t\t2024-03-04\t333
+"""
+
+_HGNC_TSV_CONTENT = """\
+hgnc_id\tsymbol\tname\tstatus
+HGNC:5\tA1BG\talpha-1-B glycoprotein\tApproved
+HGNC:37133\tA1BG-AS1\tA1BG antisense RNA 1\tApproved
+\tNOID\tno id row\tApproved
+HGNC:24086\tA1CF\tAPOBEC1 complementation factor\tApproved
+"""
+
+
+@register(
+    "q_omim_typed_cache_scan",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('cache', '100100', 'b:true', '2024-01-02', '111|222'),
+      ('cache', '100200', 'b:false', '2024-02-03', NULL),
+      ('cache', '100300', CAST(NULL AS VARCHAR), '2024-03-04', '333'),
+      ('hgnc', 'A1BG', '5', NULL, NULL),
+      ('hgnc', 'A1BG-AS1', '37133', NULL, NULL),
+      ('hgnc', 'A1CF', '24086', NULL, NULL)
+    ) AS t(src, k, v1, v2, v3)
+    ORDER BY src, k
+    """,
+)
+def q_omim_typed_cache_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 typed TSV scan + F10 HGNC gate under the oracle, through
+    REAL header-TSV file scans (reference omim_txt_parser.py:510-513
+    parses 'True'/'False' strings; :610-655 drops null id/symbol
+    rows).  Pins: BooleanType CSV parsing ('True'→true, 'False'→
+    false, empty→NULL — rendered 'b:' to survive the hash as a typed
+    bool), '|'-packed cells passing through untouched, empty cell →
+    NULL, the gate SKIPPING the null-id row (passed max_bad_ratio
+    0.5: 1 bad of 4 exercises skip, not the pytest-pinned raise), and
+    the 'HGNC:5' → '5' id strip."""
+    import os
+    import shutil
+    import tempfile
+
+    from omim_spark import parse as parse_mod
+    from omim_spark import schemas
+    from omim_spark.io import readers
+
+    d = tempfile.mkdtemp(prefix="typed_scan_gate_")
+    try:
+        cp = os.path.join(d, "pubmed-refs.tsv")
+        with open(cp, "w") as f:
+            f.write(_CACHE_TSV_CONTENT)
+        hp = os.path.join(d, "hgnc_complete_set.txt")
+        with open(hp, "w") as f:
+            f.write(_HGNC_TSV_CONTENT)
+        cache = readers.read_cache_tsv(
+            spark, cp, schemas.PUBMED_REFS_CACHE
+        ).select(
+            F.lit("cache").alias("src"),
+            F.col("mim").alias("k"),
+            F.when(
+                F.col("is_phenotype").isNotNull(),
+                F.concat(F.lit("b:"), F.col("is_phenotype").cast("string")),
+            ).alias("v1"),
+            F.col("date_fetched").alias("v2"),
+            F.col("pmid_refs").alias("v3"),
+        )
+        hgnc = parse_mod.hgnc_symbol_id_map(
+            readers.read_hgnc(spark, hp), max_bad_ratio=0.5
+        ).select(
+            F.lit("hgnc").alias("src"),
+            F.col("symbol").alias("k"),
+            F.col("hgnc_id").alias("v1"),
+            F.lit(None).cast("string").alias("v2"),
+            F.lit(None).cast("string").alias("v3"),
+        )
+        return (
+            cache.unionByName(hgnc)
+            .orderBy("src", "k")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# T13 under the gate (round 11): CURIE↔URI rewrites.
+# ---------------------------------------------------------------------------
+
+_CURIE_CASES = [
+    "OMIM:100100",
+    "OMIMPS:123",
+    "MONDO:0000001",
+    "HGNC:5",
+    "PMID:12345",
+    "oboInOwl:hasExactSynonym",
+    "UNKNOWNPFX:77",  # no namespace → passes through unchanged
+]
+
+
+@register(
+    "q_omim_uri_curie_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('HGNC:5', 'http://identifiers.org/hgnc/5', 'HGNC:5'),
+      ('MONDO:0000001', 'http://purl.obolibrary.org/obo/MONDO_0000001',
+       'MONDO:0000001'),
+      ('OMIM:100100', 'https://omim.org/entry/100100', 'OMIM:100100'),
+      ('OMIMPS:123', 'https://omim.org/phenotypicSeries/PS123',
+       'OMIMPS:123'),
+      ('PMID:12345', 'http://www.ncbi.nlm.nih.gov/pubmed/12345',
+       'PMID:12345'),
+      ('UNKNOWNPFX:77', 'UNKNOWNPFX:77', 'UNKNOWNPFX:77'),
+      ('oboInOwl:hasExactSynonym',
+       'http://www.geneontology.org/formats/oboInOwl#hasExactSynonym',
+       'oboInOwl:hasExactSynonym')
+    ) AS t(curie, uri, roundtrip)
+    ORDER BY curie
+    """,
+)
+def q_omim_uri_curie_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 URI→CURIE rewrite (+ its CURIE→URI inverse) under the gate
+    (reference: the dipper curie_map.yaml expansions and the SPARQL
+    REPLACE post-processing, disease-gene-relationships.sparql:41-45).
+    Pins the namespace-map expansion per prefix family (incl. the
+    OMIMPS 'PS'-embedding), the longest-prefix-first CURIE recovery
+    (obo/MONDO_ must yield MONDO:, never a shorter obo match), the
+    unknown-prefix pass-through, and exact roundtrip identity."""
+    from omim_spark.curies import curie_to_uri, uri_to_curie
+
+    df = spark.createDataFrame([(c,) for c in _CURIE_CASES], "curie string")
+    uri = curie_to_uri(F.col("curie"))
+    return (
+        df.select(
+            "curie",
+            uri.alias("uri"),
+            uri_to_curie(uri).alias("roundtrip"),
+        )
+        .orderBy("curie")
+    )
