@@ -113,6 +113,11 @@ _VERIFY_FIRST = [
     # longest-prefix-first recovery and roundtrip identity.
     "q_omim_typed_cache_scan",
     "q_omim_uri_curie_roundtrip",
+    # NEW in round 11: S15/S16 export transforms (SSSOM flatten,
+    # obographs nodes/edges incl. restriction collapse) — the last
+    # oracle-expressible builder-only surfaces; S7/S8 stay pytest
+    # (driver-side network protocols behind injected transports).
+    "q_omim_artifact_exports",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

@@ -1419,3 +1419,90 @@ def q_omim_uri_curie_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("curie")
     )
+
+
+# ---------------------------------------------------------------------------
+# S15/S16 under the gate (round 11): the artifact-export transforms.
+# sssom_rows / obograph_nodes / obograph_edges are pure DataFrame
+# functions (the file framing — YAML header, streaming JSON concat —
+# stays byte-golden in test_artifacts.py), so the oracle holds the
+# exact row payloads for a two-class graph with a restriction.
+# ---------------------------------------------------------------------------
+
+_ARTIFACT_TRIPLES = [
+    ("OMIM:100100", "rdf:type", "owl:Class", "uri", None),
+    ("OMIM:100100", "rdfs:label", "prune belly", "literal", None),
+    ("OMIM:100100", "oboInOwl:hasExactSynonym", "PBS", "literal", None),
+    ("OMIM:100100", "oboInOwl:hasRelatedSynonym", "old name", "literal", None),
+    ("OMIM:100100", "owl:deprecated", "true", "literal", "xsd:boolean"),
+    ("OMIM:100100", "skos:exactMatch", "MONDO:0000001", "uri", None),
+    ("OMIM:100100", "rdfs:subClassOf", "OMIM:200200", "uri", None),
+    ("OMIM:100100", "rdfs:subClassOf", _BNODE_ID, "bnode", None),
+    (_BNODE_ID, "rdf:type", "owl:Restriction", "uri", None),
+    (_BNODE_ID, "owl:onProperty", "RO:0004013", "uri", None),
+    (_BNODE_ID, "owl:someValuesFrom", "OMIM:300300", "uri", None),
+    ("OMIM:200200", "rdf:type", "owl:Class", "uri", None),
+    ("OMIM:200200", "rdfs:label", "parent", "literal", None),
+]
+
+
+@register(
+    "q_omim_artifact_exports",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('edge', 'https://omim.org/entry/100100 http://purl.obolibrary.org/obo/RO_0004013',
+       '{"sub":"https://omim.org/entry/100100","pred":"http://purl.obolibrary.org/obo/RO_0004013","obj":"https://omim.org/entry/300300"}'),
+      ('edge', 'https://omim.org/entry/100100 is_a',
+       '{"sub":"https://omim.org/entry/100100","pred":"is_a","obj":"https://omim.org/entry/200200"}'),
+      ('node', 'https://omim.org/entry/100100',
+       '{"id":"https://omim.org/entry/100100","lbl":"prune belly","type":"CLASS","meta":{"deprecated":true,"synonyms":[{"pred":"hasExactSynonym","val":"PBS"},{"pred":"hasRelatedSynonym","val":"old name"}],"xrefs":[{"val":"MONDO:0000001"}]}}'),
+      ('node', 'https://omim.org/entry/200200',
+       '{"id":"https://omim.org/entry/200200","lbl":"parent","type":"CLASS"}'),
+      ('sssom', 'OMIM:100100',
+       'OMIM:100100' || CHR(9) || 'prune belly' || CHR(9) ||
+       'skos:exactMatch' || CHR(9) || 'MONDO:0000001' || CHR(9) ||
+       'semapv:UnspecifiedMatching')
+    ) AS t(kind, k, payload)
+    ORDER BY kind, k
+    """,
+)
+def q_omim_artifact_exports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15/S16 export transforms under the gate (reference
+    makefile:41-42 `sssom parse`, makefile:56-57 `robot convert`).
+    Pins, per artifact: SSSOM exactMatch flattening with the
+    left-joined subject label and the fixed
+    predicate/justification columns; obographs NODE objects — named
+    owl:Class detection (bnode subjects excluded), key order, the
+    meta block appearing only when non-empty (200200 has no meta),
+    deprecated as a JSON bool, synonyms sorted with their oboInOwl
+    local-name preds, xrefs as raw CURIEs while ids expand to URIs;
+    and obographs EDGES — direct named subClassOf → is_a plus the
+    restriction bnode collapsed to (sub, onProperty URI,
+    someValuesFrom URI)."""
+    from omim_spark.io.artifacts import (
+        obograph_edges,
+        obograph_nodes,
+        sssom_rows,
+    )
+    from omim_spark.schemas import TRIPLES
+
+    t = spark.createDataFrame(_ARTIFACT_TRIPLES, TRIPLES)
+    ss = sssom_rows(t).select(
+        F.lit("sssom").alias("kind"),
+        F.col("subject_id").alias("k"),
+        F.concat_ws(
+            "\t", "subject_id", "subject_label", "predicate_id",
+            "object_id", "mapping_justification",
+        ).alias("payload"),
+    )
+    nodes = obograph_nodes(t).select(
+        F.lit("node").alias("kind"),
+        F.col("id").alias("k"),
+        F.col("json").alias("payload"),
+    )
+    edges = obograph_edges(t).select(
+        F.lit("edge").alias("kind"),
+        F.concat_ws(" ", "sub", "pred").alias("k"),
+        F.col("json").alias("payload"),
+    )
+    return ss.unionByName(nodes).unionByName(edges).orderBy("kind", "k")
