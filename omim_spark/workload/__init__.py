@@ -60,10 +60,10 @@ from . import maintenance  # noqa: E402,F401
 #   label+synonym rows, 68→70) and the three multimodal queries whose
 #   helper closure includes decode_png (the r10 VERDICT defect: a
 #   corrupt IHDR chunk-length now raises ValueError, not
-#   struct.error) — plus the two NEW r11 gates (fuzzy + streaming
-#   decontamination).  The 44 fill slots take ALL 37 remaining
-#   r7-greens and the 7 oldest r8 rows — after r11 no driver-green
-#   row predates r8.
+#   struct.error) — plus the eight NEW r11 gates and the two TZ-fixed
+#   queries below.  The 36 fill slots take 36 of the 37 remaining
+#   r7-greens — after r11 exactly ONE driver-green row predates r8
+#   (q_decontaminate, r7; first in line for the r12 fill).
 _VERIFY_FIRST = [
     # CHANGED in round 11 (r10 ADVICE high): G6 per-entry class
     # emission — an OBSOLETE entry with ZERO replacements falls
