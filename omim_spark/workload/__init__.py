@@ -60,10 +60,11 @@ from . import maintenance  # noqa: E402,F401
 #   label+synonym rows, 68→70) and the three multimodal queries whose
 #   helper closure includes decode_png (the r10 VERDICT defect: a
 #   corrupt IHDR chunk-length now raises ValueError, not
-#   struct.error) — plus the eight NEW r11 gates and the two TZ-fixed
-#   queries below.  The 36 fill slots take 36 of the 37 remaining
-#   r7-greens — after r11 exactly ONE driver-green row predates r8
-#   (q_decontaminate, r7; first in line for the r12 fill).
+#   struct.error) — plus the eight NEW r11 gates, the two TZ-fixed
+#   queries, and the four span queries riding the checkpoint perf fix.
+#   The 32 fill slots take 32 of the 34 remaining r7-greens — after
+#   r11 exactly TWO driver-green rows predate r8 (q_stream_curation,
+#   q_substring_spans; first in line for the r12 fill).
 _VERIFY_FIRST = [
     # CHANGED in round 11 (r10 ADVICE high): G6 per-entry class
     # emission — an OBSOLETE entry with ZERO replacements falls
@@ -118,6 +119,15 @@ _VERIFY_FIRST = [
     # oracle-expressible builder-only surfaces; S7/S8 stay pytest
     # (driver-side network protocols behind injected transports).
     "q_omim_artifact_exports",
+    # CHANGED in round 11 (perf): merged/excise span operators now
+    # checkpoint the narrow (id, pos, h) span table so the dominant
+    # tokenize+explode runs ONCE per funnel instead of per consumer —
+    # interleaved A/B at sf0.1: 1.27 s vs 1.84 s min-of-6 on the
+    # dup-stats headline.
+    "q_substring_dup_stats",
+    "q_substring_clean_corpus",
+    "q_substring_dup_by_source",
+    "q_substring_excise",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only
