@@ -47,87 +47,25 @@ from . import maintenance  # noqa: E402,F401
 # window is final — the driver then verifies exactly that code, making
 # the manifest the next round's "last driver-green" baseline.
 #
-# Round-11 window:
-# - entering round 11 the cumulative state is: CORRECTNESS_r10 50/50
-#   green; all 182 registered queries driver-green AND hash-matchable
+# Round-12 window:
+# - entering round 12 the cumulative state is: CORRECTNESS_r11 50/50
+#   green; all 190 registered queries driver-green AND hash-matchable
 #   with code AST-identical since their green (ledger-enforced);
-#   green histogram {r7: 37, r8: 47, r9: 48, r10: 50}.
-# - _VERIFY_FIRST stays MINIMAL: the four queries round 11's fixes
-#   touch — q_omim_entry_classes (r10 ADVICE high: the
-#   zero-replacement-obsolete fall-through, reference main.py:276-287
-#   — emit_entry_classes now suppresses label/synonyms only for
-#   REPLACED obsoletes, and the fixture/oracle gained the 600100
-#   label+synonym rows, 68→70) and the three multimodal queries whose
-#   helper closure includes decode_png (the r10 VERDICT defect: a
-#   corrupt IHDR chunk-length now raises ValueError, not
-#   struct.error) — plus the eight NEW r11 gates, the two TZ-fixed
-#   queries, and the four span queries riding the checkpoint perf fix.
-#   The 32 fill slots take 32 of the 34 remaining r7-greens — after
-#   r11 exactly TWO driver-green rows predate r8 (q_stream_curation,
-#   q_substring_spans; first in line for the r12 fill).
+#   green histogram {r7: 2, r8: 46, r9: 45, r10: 47, r11: 50}.
+# - _VERIFY_FIRST stays MINIMAL so the fill drains the 2 remaining
+#   r7 greens (q_stream_curation, q_substring_spans — the r11 verdict
+#   drain target) plus the oldest r8 rows.
 _VERIFY_FIRST = [
-    # CHANGED in round 11 (r10 ADVICE high): G6 per-entry class
-    # emission — an OBSOLETE entry with ZERO replacements falls
-    # through per the reference and keeps rdfs:label +
-    # hasExactSynonym; only replaced obsoletes are suppressed.
-    "q_omim_entry_classes",
-    # CHANGED in round 11 (r10 VERDICT defect): decode_png gained the
-    # IHDR body-length gate (struct.error → ValueError on corrupt
-    # chunk-length); these three ride the closure through
-    # operators/multimodal.py.
-    "q_multimodal_frames",
-    "q_multimodal_features",
-    "q_multimodal_resize",
-    # NEW in round 11: fuzzy benchmark decontamination — MinHash-
-    # banded candidates vs the held-out suite, true-Jaccard verified
-    # (the near-dup companion to q_decontaminate's exact-8-gram tier).
-    "q_decontaminate_fuzzy",
-    # NEW in round 11: its online tier — a REAL stream-static
-    # broadcast join (the one Structured Streaming pattern the other
-    # nine stream gates don't exercise): streaming train docs banded
-    # row-locally against the static benchmark band table.
-    "q_stream_decontaminate",
-    # CHANGED in round 11: TZ hardening, found by the r11
-    # TZ=America/New_York full-registry sweep (both drifted on a
-    # non-UTC host while the driver's UTC box masked it) —
-    # q_events_sliding_window's ORACLE used TO_TIMESTAMP
-    # (TIMESTAMPTZ: STRFTIME renders in the SYSTEM zone; fixed with
-    # plain MAKE_TIMESTAMP), and q_latest_per_key returned a raw
-    # TimestampType, which PySpark row collection localizes to the
-    # SYSTEM zone regardless of the session pin (fixed by rendering
-    # JVM-side with date_format under the UTC session).
-    "q_events_sliding_window",
-    "q_latest_per_key",
-    # NEW in round 11: S9's line rendering promoted from builder-only
-    # to driver-gated — ttl_lines is a pure projection, so the oracle
-    # rebuilds every byte (escape chain order, ^^ datatypes, bnode
-    # detection/rendering, rdf:type-first ordering, distinct).
-    "q_omim_ttl_lines",
-    # NEW in round 11: two more builder-only surfaces promoted via
-    # the scratch-file pattern — the S2/S3/F1 comment-aware reader +
-    # mimTitles parser through a REAL file scan, and the S10/S11/S13
-    # report sinks' exact bytes (ROBOT subheader, RFC-4180 quoting).
-    "q_omim_reader_parse",
-    "q_omim_report_sinks",
-    # NEW in round 11: S4 typed cache scan + F10 HGNC gate skip-path
-    # through real header-TSV scans, and T13 CURIE↔URI rewrites with
-    # longest-prefix-first recovery and roundtrip identity.
-    "q_omim_typed_cache_scan",
-    "q_omim_uri_curie_roundtrip",
-    # NEW in round 11: S15/S16 export transforms (SSSOM flatten,
-    # obographs nodes/edges incl. restriction collapse) — the last
-    # oracle-expressible builder-only surfaces; S7/S8 stay pytest
-    # (driver-side network protocols behind injected transports).
-    "q_omim_artifact_exports",
-    # CHANGED in round 11 (perf): merged/excise span operators now
-    # checkpoint the narrow (id, pos, h) span table so the dominant
-    # tokenize+explode runs ONCE per funnel instead of per consumer —
-    # interleaved A/B at sf0.1: 1.27 s vs 1.84 s min-of-6 on the
-    # dup-stats headline.
-    "q_substring_dup_stats",
-    "q_substring_clean_corpus",
-    "q_substring_dup_by_source",
-    "q_substring_excise",
+    # NEW in round 12: the API-entry JSON path promoted from
+    # builder-only to driver-gated (the last oracle-expressible
+    # composed surface, r11 VERDICT #1) — scratch landed-JSON
+    # envelope → read_entry_json multiLine scan → the api_entries
+    # transforms (core/pubmed/mapped-ids/phenotypic-series,
+    # reference omim_entry_parser.py:62-160,386-422) and the
+    # gene-association enrichment report (reference
+    # extract_omim_information.py:24-125).
+    "q_omim_api_entry_parse",
+    "q_omim_gene_assoc_report",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

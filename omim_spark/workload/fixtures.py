@@ -1506,3 +1506,392 @@ def q_omim_artifact_exports(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("json").alias("payload"),
     )
     return ss.unionByName(nodes).unionByName(edges).orderBy("kind", "k")
+
+
+# ---------------------------------------------------------------------------
+# S7's JSON landing path under the gate (round 12): the API-entry
+# transforms (api_entries.py — reference omim_entry_parser.py:62-160
+# and the nested-field extractors at :386-422) driven through a REAL
+# multiLine-JSON scan of a scratch landing file, exactly the
+# q_omim_reader_parse pattern.  The network protocol itself (io/fetch)
+# stays pytest-only by nature; everything downstream of the landed
+# envelope is oracle-verified here.
+# ---------------------------------------------------------------------------
+
+_API_ENTRIES_JSON = {
+    "omim": {
+        "version": "1.0",
+        "entryList": [
+            {
+                "entry": {
+                    "prefix": "*",
+                    "mimNumber": 100100,
+                    "titles": {
+                        "preferredTitle": "GENE ALPHA; GA",
+                        "alternativeTitles": "ALT ALPHA; AA",
+                        "includedTitles": "INC ALPHA; IA",
+                    },
+                    "geneMap": {
+                        "cytoLocation": "1p36.1",
+                        "comments": "linked to beta",
+                        "phenotypeMapList": [
+                            {
+                                "phenotypeMap": {
+                                    "phenotypicSeriesNumber": "PS100100"
+                                }
+                            }
+                        ],
+                    },
+                    "referenceList": [
+                        {"reference": {"pubmedID": 111}},
+                        {"reference": {"pubmedID": 222}},
+                        {"reference": {"title": "no pmid here"}},
+                    ],
+                    "externalLinks": {
+                        "geneIDs": "10, 20",
+                        "umlsIDs": "C0001",
+                        "orphanetDiseases": (
+                            "500;;11;;Thing A;;;600;;12;;Thing B"
+                        ),
+                    },
+                }
+            },
+            {
+                "entry": {
+                    "prefix": "#",
+                    "mimNumber": 100200,
+                    "titles": {
+                        "preferredTitle": "DISEASE BETA, TYPE II; DB2"
+                    },
+                    "phenotypeMapList": [
+                        {
+                            "phenotypeMap": {
+                                "phenotypicSeriesNumber": (
+                                    "PS100200,PS100201"
+                                )
+                            }
+                        }
+                    ],
+                }
+            },
+            {
+                "entry": {
+                    "prefix": "%",
+                    "mimNumber": 100300,
+                    "titles": {"preferredTitle": "MARKER GAMMA"},
+                }
+            },
+            {
+                "entry": {
+                    "prefix": None,
+                    "mimNumber": 100400,
+                    "titles": {"preferredTitle": "SUSPECTED DELTA"},
+                }
+            },
+        ],
+    }
+}
+
+_API_CORE_KEYS = [
+    "omim_type",
+    "preferred_title",
+    "label",
+    "abbrev",
+    "alternative_titles",
+    "included_titles",
+    "cyto_location",
+    "genemap_comments",
+]
+
+_API_EXPECTED = (
+    # core key/value rows — one per (entry, core field), NULLs pinned
+    [
+        ("100100", "core", "omim_type", "GENE"),
+        ("100100", "core", "preferred_title", "GENE ALPHA; GA"),
+        ("100100", "core", "label", "gene alpha"),
+        ("100100", "core", "abbrev", "GA"),
+        ("100100", "core", "alternative_titles", "ALT ALPHA; AA"),
+        ("100100", "core", "included_titles", "INC ALPHA; IA"),
+        ("100100", "core", "cyto_location", "1p36.1"),
+        ("100100", "core", "genemap_comments", "linked to beta"),
+        ("100200", "core", "omim_type", "PHENOTYPE"),
+        ("100200", "core", "preferred_title", "DISEASE BETA, TYPE II; DB2"),
+        ("100200", "core", "label", "disease beta, type 2"),
+        ("100200", "core", "abbrev", "DB2"),
+        ("100200", "core", "alternative_titles", None),
+        ("100200", "core", "included_titles", None),
+        ("100200", "core", "cyto_location", None),
+        ("100200", "core", "genemap_comments", None),
+        ("100300", "core", "omim_type", "HERITABLE_PHENOTYPIC_MARKER"),
+        ("100300", "core", "preferred_title", "MARKER GAMMA"),
+        ("100300", "core", "label", "marker gamma"),
+        ("100300", "core", "abbrev", None),
+        ("100300", "core", "alternative_titles", None),
+        ("100300", "core", "included_titles", None),
+        ("100300", "core", "cyto_location", None),
+        ("100300", "core", "genemap_comments", None),
+        ("100400", "core", "omim_type", "SUSPECTED"),
+        ("100400", "core", "preferred_title", "SUSPECTED DELTA"),
+        ("100400", "core", "label", "suspected delta"),
+        ("100400", "core", "abbrev", None),
+        ("100400", "core", "alternative_titles", None),
+        ("100400", "core", "included_titles", None),
+        ("100400", "core", "cyto_location", None),
+        ("100400", "core", "genemap_comments", None),
+    ]
+    # pubmed refs: pmid-less reference rows dropped
+    + [
+        ("100100", "pubmed", "pmid", "111"),
+        ("100100", "pubmed", "pmid", "222"),
+    ]
+    # external links: comma-packed gene/umls ids split + trimmed,
+    # orphanet ';;;'-item / ';;'-field double unpack takes field 1
+    + [
+        ("100100", "mapped", "NCBIGENE", "10"),
+        ("100100", "mapped", "NCBIGENE", "20"),
+        ("100100", "mapped", "UMLS", "C0001"),
+        ("100100", "mapped", "ORPHANET", "500"),
+        ("100100", "mapped", "ORPHANET", "600"),
+    ]
+    # phenotypic series: geneMap-nested AND top-level lists,
+    # comma-packed numbers split
+    + [
+        ("100100", "ps", "ps", "PS100100"),
+        ("100200", "ps", "ps", "PS100200"),
+        ("100200", "ps", "ps", "PS100201"),
+    ]
+)
+
+
+@register(
+    "q_omim_api_entry_parse",
+    oracle="SELECT * FROM "
+    + _values_sql(_API_EXPECTED, ["mim_number", "section", "k", "v"])
+    + " ORDER BY mim_number, section, k, v",
+)
+def q_omim_api_entry_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7's landed-JSON path under the gate: scratch API envelope →
+    read_entry_json multiLine scan → the four api_entries transforms,
+    unpivoted to (mim_number, section, k, v) rows (reference
+    omim_entry_parser.py:62-160,386-422).  Pins, via the VALUES
+    oracle: envelope explode (one row per entryList entry), prefix
+    char → omim_type for * / # / % and JSON-null → SUSPECTED,
+    zero-pad-to-6 of mimNumber, the ';'-split abbrev vs the
+    no-';' NULL, cleanup_title on the pre-';' part (lowercase +
+    interior roman 'TYPE II' → 'type 2'), absent JSON branches →
+    NULL core cells, pmid-less referenceList rows dropped,
+    comma-packed geneIDs/umlsIDs split + trimmed, the orphanet
+    'id;;code;;label;;;...' double unpack, and phenotypic series from
+    BOTH nesting variants with comma-packed numbers split."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from omim_spark import api_entries
+    from omim_spark.io.readers import read_entry_json
+
+    d = tempfile.mkdtemp(prefix="api_entry_gate_")
+    try:
+        path = os.path.join(d, "entries.json")
+        with open(path, "w") as f:
+            f.write(_json.dumps(_API_ENTRIES_JSON))
+        entries = read_entry_json(spark, path)
+
+        core = api_entries.entry_core(entries)
+        kv = []
+        for k in _API_CORE_KEYS:
+            kv.append(F.lit(k))
+            kv.append(F.col(k).cast("string"))
+        core_rows = core.select(
+            "mim_number",
+            F.lit("core").alias("section"),
+            F.explode(F.create_map(*kv)).alias("k", "v"),
+        )
+        pub_rows = api_entries.entry_pubmed_refs(entries).select(
+            "mim_number",
+            F.lit("pubmed").alias("section"),
+            F.lit("pmid").alias("k"),
+            F.col("pmid").alias("v"),
+        )
+        map_rows = api_entries.entry_mapped_ids(entries).select(
+            "mim_number",
+            F.lit("mapped").alias("section"),
+            F.col("namespace").alias("k"),
+            F.col("id").alias("v"),
+        )
+        ps_rows = api_entries.entry_phenotypic_series(entries).select(
+            "mim_number",
+            F.lit("ps").alias("section"),
+            F.lit("ps").alias("k"),
+            F.col("ps_number").alias("v"),
+        )
+        return (
+            core_rows.unionByName(pub_rows)
+            .unionByName(map_rows)
+            .unionByName(ps_rows)
+            .orderBy("mim_number", "section", "k", "v")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# The gene-association enrichment report under the gate (round 12):
+# entry_gene_association_report (reference omim2obo/utils/
+# omim_entry_gene_association_info/extract_omim_information.py:24-125)
+# over a scratch landed-JSON cache + an inline MONDO evidence table.
+# ---------------------------------------------------------------------------
+
+_ASSOC_ENTRIES_JSON = {
+    "omim": {
+        "entryList": [
+            {
+                "entry": {
+                    "prefix": "*",
+                    "mimNumber": 200100,
+                    "titles": {"preferredTitle": "GENE X"},
+                    "textSectionList": [
+                        {
+                            "textSection": {
+                                "textSectionTitle": "Description",
+                                "textSectionContent": "ignored section",
+                            }
+                        },
+                        {
+                            "textSection": {
+                                "textSectionTitle": "Text",
+                                "textSectionContent": "line one\nline two",
+                            }
+                        },
+                    ],
+                    "externalLinks": {"hgnc": "487"},
+                    "phenotypeMapList": [
+                        {
+                            "phenotypeMap": {
+                                "mimNumber": 200100,
+                                "phenotype": "Pheno A",
+                                "phenotypeMimNumber": 300100,
+                                "phenotypeMappingKey": 3,
+                                "approvedGeneSymbols": "GX",
+                            }
+                        },
+                        {
+                            "phenotypeMap": {
+                                "mimNumber": 200100,
+                                "phenotype": "Pheno B",
+                                "phenotypeMappingKey": 2,
+                            }
+                        },
+                    ],
+                }
+            },
+            {
+                "entry": {
+                    "prefix": "#",
+                    "mimNumber": 200200,
+                    "titles": {"preferredTitle": "DISEASE Y"},
+                }
+            },
+        ]
+    }
+}
+
+_ASSOC_EVIDENCE = [
+    ("MONDO:0000001", "disease one", "OMIM:200100, MESH:D123", "TRUE"),
+    ("MONDO:0000002", "disease two", "OMIMPS:300100", "TRUE"),
+    ("MONDO:0000003", "disease three", "see OMIM:200200", "FALSE"),
+    ("MONDO:0000004", "disease four", "OMIM:200100|OMIM:200200", "FALSE"),
+    ("MONDO:0000005", "disease five", "MESH:D999 only", "TRUE"),
+]
+
+_ASSOC_URL_300100 = (
+    '=HYPERLINK("https://omim.org/entry/300100",'
+    ' "https://omim.org/entry/300100")'
+)
+
+_ASSOC_EXPECTED = [
+    # mondo 1 → OMIM:200100: one row per phenotypeMap entry
+    ("MONDO:0000001", "disease one", "OMIM:200100, MESH:D123", "TRUE",
+     "OMIM:200100", "Pheno A", "*", "300100", "200100",
+     _ASSOC_URL_300100, "3", "GX", "487", "line one line two"),
+    ("MONDO:0000001", "disease one", "OMIM:200100, MESH:D123", "TRUE",
+     "OMIM:200100", "Pheno B", "*", "", "200100", "", "2", "", "487",
+     "line one line two"),
+    # mondo 2 → OMIMPS id: no cached entry (the per-MIM API call
+    # errors on PS ids) — evidence row kept, entry fields empty
+    ("MONDO:0000002", "disease two", "OMIMPS:300100", "TRUE",
+     "OMIMPS:300100", "", "", "", "", "", "", "", "", ""),
+    # mondo 3 → entry with NO phenotypeMapList: the `or [{}]` explode
+    # keeps one row with empty phenotype fields
+    ("MONDO:0000003", "disease three", "see OMIM:200200", "FALSE",
+     "OMIM:200200", "", "#", "", "", "", "", "", "", ""),
+    # mondo 4 packs TWO curies → 2+1 rows
+    ("MONDO:0000004", "disease four", "OMIM:200100|OMIM:200200", "FALSE",
+     "OMIM:200100", "Pheno A", "*", "300100", "200100",
+     _ASSOC_URL_300100, "3", "GX", "487", "line one line two"),
+    ("MONDO:0000004", "disease four", "OMIM:200100|OMIM:200200", "FALSE",
+     "OMIM:200100", "Pheno B", "*", "", "200100", "", "2", "", "487",
+     "line one line two"),
+    ("MONDO:0000004", "disease four", "OMIM:200100|OMIM:200200", "FALSE",
+     "OMIM:200200", "", "#", "", "", "", "", "", "", ""),
+    # mondo 5 has no OMIM xref at all: regex explode drops the row —
+    # pinned by this fixture's total count
+]
+
+_ASSOC_COLS = [
+    "mondo_id", "mondo_label", "xrefs", "should_have_gene_annotation",
+    "extracted_omim_curie", "phenotype", "omim_prefix",
+    "phenotypeMimNumber", "geneMimNumber", "omimURL",
+    "phenotypeMappingKey", "approvedGeneSymbols", "hgncID",
+    "textSectionContent",
+]
+
+
+@register(
+    "q_omim_gene_assoc_report",
+    oracle="SELECT * FROM "
+    + _values_sql(_ASSOC_EXPECTED, _ASSOC_COLS)
+    + " ORDER BY mondo_id, extracted_omim_curie, phenotype",
+)
+def q_omim_gene_assoc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gene-association enrichment report under the gate
+    (reference extract_omim_information.py:24-125): MONDO evidence
+    rows × regex-extracted OMIM curies, left-joined against a REAL
+    scratch landed-JSON API cache and exploded per phenotypeMap.
+    Pins: the OMIM(?:PS)?:\\d+ xref extraction (multi-curie rows
+    fan out; a row with no OMIM xref vanishes), the no-cached-entry
+    branch (OMIMPS ids keep their evidence row with every entry
+    field ''), the no-phenotypes `or [{}]` branch (one row, empty
+    phenotype fields), textSection title-'Text' selection with
+    newline flattening, hgnc from externalLinks, geneMimNumber from
+    the phenotypeMap's OWN mimNumber, the spreadsheet HYPERLINK
+    formula (empty when the map has no phenotypeMimNumber), and
+    int→string rendering of mapping keys and MIM numbers."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from omim_spark.api_entries import entry_gene_association_report
+    from omim_spark.io.readers import read_entry_json
+
+    d = tempfile.mkdtemp(prefix="assoc_gate_")
+    try:
+        path = os.path.join(d, "entries.json")
+        with open(path, "w") as f:
+            f.write(_json.dumps(_ASSOC_ENTRIES_JSON))
+        entries = read_entry_json(spark, path)
+        evidence = spark.createDataFrame(
+            _ASSOC_EVIDENCE,
+            "mondo_id string, mondo_label string, xrefs string, "
+            "should_have_gene_annotation string",
+        )
+        return (
+            entry_gene_association_report(evidence, entries)
+            .orderBy("mondo_id", "extracted_omim_curie", "phenotype")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
