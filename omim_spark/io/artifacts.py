@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from omim_spark.curies import NAMESPACES
 from omim_spark.curies import curie_to_uri as _curie_to_uri_base
+from omim_spark.operators.checkpoint import cut_lineage
 
 # The TTL sink binds NCBITaxon in its header rather than NAMESPACES;
 # the obographs export needs the expansion inline.
@@ -163,7 +164,7 @@ def write_sssom_tsv(
     # The rows lineage is executed twice (curie_map scan + the ordered
     # body stream) — checkpoint so the exactMatch filter, label
     # aggregate, and join run once.
-    rows = sssom_rows(triples).localCheckpoint(eager=False)
+    rows = sssom_rows(triples).transform(cut_lineage, eager=False)
     meta = dict(metadata or {})
     meta.setdefault(
         "mapping_set_id",

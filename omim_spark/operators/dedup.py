@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from omim_spark.operators.checkpoint import cut_lineage
 
 
 def tokenize(text_col: str = "text") -> Column:
@@ -185,7 +186,7 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     labels = (
         edges.select(F.col("u").alias("id"))
@@ -206,7 +207,7 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage, eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -233,9 +234,7 @@ def dedup_pipeline(
 ) -> DataFrame:
     """Full near-dup funnel → surviving rows of ``df`` (one canonical
     doc per near-dup cluster, plus all non-duplicates)."""
-    sh = shingles(df, id_col, text_col, shingle_n, max_shingle_df).localCheckpoint(
-        eager=False
-    )
+    sh = shingles(df, id_col, text_col, shingle_n, max_shingle_df).transform(cut_lineage, eager=False)
     cands = minhash_lsh_candidates(sh, n_hashes, n_bands)
     verified = jaccard_verify(cands, sh, threshold)
     clusters = near_dup_clusters(verified)
@@ -339,7 +338,7 @@ def merged_duplicate_spans(
     # shingle checkpoint).
     sp = token_spans(df, id_col, text_col, n).select(
         "id", "pos", F.xxhash64("span").alias("h")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     dup = (
         sp.groupBy("h")
         .agg(F.count_distinct("id").alias("n_docs"))
@@ -391,7 +390,7 @@ def excise_duplicate_spans(
     # tokenize/explode runs once.
     sp = token_spans(df, id_col, text_col, n).select(
         "id", "pos", F.xxhash64("span").alias("h")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     own = (
         sp.groupBy("h")
         .agg(
@@ -554,7 +553,7 @@ def decontaminate(
         .select(F.xxhash64("s").alias("s"))
         .distinct()
     )
-    t = t.localCheckpoint(eager=False)
+    t = t.transform(cut_lineage, eager=False)
     hits = t.join(F.broadcast(b), "s", "left_semi").groupBy("id").agg(
         F.count("*").alias("n_hit")
     )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from omim_spark.operators.checkpoint import cut_lineage
 
 
 def propagate_min_labels(
@@ -60,7 +61,7 @@ def propagate_min_labels(
             ),
         )
         if checkpoint:
-            labels = labels.localCheckpoint(eager=False)
+            labels = labels.transform(cut_lineage, eager=False)
     return labels
 
 
@@ -113,5 +114,5 @@ def pagerank_steps(
             ).alias("pr"),
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = ranks.transform(cut_lineage, eager=False)
     return ranks

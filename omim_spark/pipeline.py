@@ -28,6 +28,7 @@ from omim_spark.queries import (
     mondo_omim_genes,
     pmid_mentions,
 )
+from omim_spark.operators.checkpoint import cut_lineage
 
 
 @dataclass
@@ -265,11 +266,11 @@ def build_graph(
     # the lineage — the graph is the natural pipeline breaker here,
     # same role as the reference's serialized omim.ttl between make
     # stages.
-    all_triples = all_triples.localCheckpoint(eager=True)
+    all_triples = all_triples.transform(cut_lineage, eager=True)
     merged = T.union_triples(all_triples, sssom_triples).distinct()
     merged = T.union_triples(merged, add_flipped_mondo_mappings(merged))
     merged = T.union_triples(merged, add_hgnc_links(merged)).distinct()
-    merged = merged.localCheckpoint(eager=True)
+    merged = merged.transform(cut_lineage, eager=True)
 
     # --- Reports -----------------------------------------------------------
     omim_types = mim_titles.select("mim_number", "omim_type")

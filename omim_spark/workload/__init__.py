@@ -66,6 +66,29 @@ _VERIFY_FIRST = [
     # extract_omim_information.py:24-125).
     "q_omim_api_entry_parse",
     "q_omim_gene_assoc_report",
+    # CHANGED in round 12 (r11 verdict #5): q_decontaminate_fuzzy
+    # gained the hot-band bucket cap (train-side (band, sig) buckets
+    # with > CONTAM_MAX_BAND_DF docs dropped before the bench join,
+    # replayed in the oracle with HAVING + NOT EXISTS) — bounds the
+    # candidate population a boilerplate-heavy corpus otherwise
+    # inflates super-linearly.
+    "q_decontaminate_fuzzy",
+    # CHANGED in round 12 (r11 verdict #6 / advice): production
+    # operators' lineage cuts (span funnels, CC/label-prop/pagerank,
+    # exact decontamination, SSSOM rows, pipeline build) now route
+    # through operators/checkpoint.cut_lineage — localCheckpoint by
+    # default, spark.omim.checkpoint.mode=reliable for clusters where
+    # executor loss must recompute instead of failing.  These ride
+    # the closure change; plans are byte-identical in 'local' mode.
+    "q_decontaminate",
+    "q_dedup_cluster_histogram",
+    "q_dedup_cluster_survivors",
+    "q_label_propagation",
+    "q_pagerank_steps",
+    "q_substring_dup_stats",
+    "q_substring_clean_corpus",
+    "q_substring_dup_by_source",
+    "q_substring_excise",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

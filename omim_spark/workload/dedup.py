@@ -754,6 +754,15 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAM_BENCH_SOURCE = "src0"  # stands in for the evaluation suite
 CONTAM_J = 0.5  # contamination gates lower than dedup's 0.8
+# Hot-band bucket cap (r11 verdict #5, the fuzzy twin of MAX_DF): a
+# train-side (band, sig) bucket shared by more than this many TRAIN
+# docs is dropped before the bench join — a boilerplate-heavy corpus
+# otherwise inflates the candidate population super-linearly (the
+# measured 0.65 -> 0.81 exponent growth across decades).  Deterministic,
+# so the oracle replays it; a capped doc keeps its other N_BANDS-1
+# chances to band with the suite.  No-op at every test SF by
+# construction (max train band df: 3 at sf0.01, 12 at sf0.1).
+CONTAM_MAX_BAND_DF = 50
 
 
 @register(
@@ -773,14 +782,26 @@ CONTAM_J = 0.5  # contamination gates lower than dedup's 0.8
       FROM mh GROUP BY doc_id, (j - 1) // 2
     ),
     src AS (SELECT doc_id, source FROM documents),
-    cand AS (
-      SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
+    tb AS (
+      SELECT t.doc_id, t.band, t.sig
       FROM bands t
       JOIN src st ON t.doc_id = st.doc_id
                  AND st.source <> '{CONTAM_BENCH_SOURCE}'
+    ),
+    hotb AS (
+      SELECT band, sig FROM tb
+      GROUP BY band, sig HAVING COUNT(*) > {CONTAM_MAX_BAND_DF}
+    ),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
+      FROM tb t
       JOIN bands b ON t.band = b.band AND t.sig = b.sig
       JOIN src sb ON b.doc_id = sb.doc_id
                  AND sb.source = '{CONTAM_BENCH_SOURCE}'
+      WHERE NOT EXISTS (
+        SELECT 1 FROM hotb h
+        WHERE h.band = t.band AND h.sig = t.sig
+      )
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -812,10 +833,13 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     as in Lee et al. 2022).
 
     Funnel: band_signatures on both sides (row-local, no explode —
-    the signature stage performs no shuffle), candidates = train
-    bands ⋈ benchmark bands, then true-Jaccard verification computed
-    ONLY for candidate train docs via the semi-join-before-explode
-    path (:func:`_shingles_hashed_of`).
+    the signature stage performs no shuffle), hot train-side
+    (band, sig) buckets (> CONTAM_MAX_BAND_DF docs — degenerate
+    boilerplate signatures) dropped by anti join before the bench
+    join, candidates = capped train bands ⋈ benchmark bands, then
+    true-Jaccard verification computed ONLY for candidate train docs
+    via the semi-join-before-explode path
+    (:func:`_shingles_hashed_of`).
 
     Scale: the benchmark suite is small BY CONSTRUCTION (an eval
     set, not a crawl) — the explicit broadcasts (bench bands, bench
@@ -829,8 +853,15 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
     train = docs.filter(F.col("source") != CONTAM_BENCH_SOURCE)
     bench_bands = band_signatures(bench).withColumnRenamed("doc_id", "bench_id")
+    tb = band_signatures(train)
+    hot_bands = (
+        tb.groupBy("band", "sig")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > CONTAM_MAX_BAND_DF)
+        .select("band", "sig")
+    )
     cand = (
-        band_signatures(train)
+        tb.join(hot_bands, ["band", "sig"], "left_anti")
         .join(F.broadcast(bench_bands), ["band", "sig"])
         .select("doc_id", "bench_id")
         .distinct()
