@@ -26,10 +26,15 @@ Machine-state controls (all env-overridable):
                            defaults = r8 idle minima) or the gate
                            sleeps and retries; exhausted retries stamp
                            "gave_up_contended": true in the artifact.
-The emitted calibration block carries cpu + shuffle probe times (every
-attempt), settle waits, floors, the gave-up flag, and loadavg
-before/after, so a contaminated draw is attributable from the artifact
-alone — and since r9 the harness actively avoids starting one.
+The emitted calibration block carries cpu + shuffle probe times
+(per-attempt when the settle gate retried), settle waits, floors, the
+gave-up flag, and loadavg before/after, so a contaminated draw is
+attributable from the artifact alone — and since r9 the harness
+actively avoids starting one.  The line is emitted COMPACT and kept
+under 1900 bytes: the external driver records only the last 2000
+chars of stdout, and r10/r11's longer lines were truncated into
+unparseable artifacts (probe-job definitions live in _calibrate's
+comment, not the JSON).
 """
 
 from __future__ import annotations
@@ -218,10 +223,12 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         mean = sum(runs) / len(runs)
         var = sum((r - mean) ** 2 for r in runs) / max(1, len(runs) - 1)
+        # n lives once at top level ("runs_per_query"), not per query:
+        # the emitted line must stay under the driver's 2000-char
+        # stdout-tail cap (see the dumps call below).
         spread[name] = {
             "mean": round(mean, 3),
             "stddev": round(var**0.5, 3),
-            "n": len(runs),
         }
 
     # OMIM pipeline tier (r9 VERDICT #5): build_graph through the TTL
@@ -232,97 +239,87 @@ def main() -> None:
     # EXCLUDED from the headline total: "value" stays comparable with
     # BASELINE.json's workload criterion and BENCH_HISTORY's r1-r9
     # floors.  Skip with SPARK_GRAFT_SKIP_PIPELINE=1.
+    #
+    # Since round 12 (r11 verdict #3) the tier runs in a FRESH
+    # subprocess JVM (tools/pipeline_bench.py): inline it inherited
+    # the 5×13 workload region's GC/page-cache state, and the r11
+    # driver draw read 29.5 s against a settled 19.31 s floor —
+    # forensics no artifact should need.  Fail-soft either way: any
+    # subprocess failure degrades to an "error" entry, never kills
+    # the workload artifact already measured above.
     pipeline: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SKIP_PIPELINE", "") != "1":
-        import shutil
+        import subprocess
 
         replicas = int(os.environ.get("SPARK_GRAFT_PIPELINE_REPLICAS", "2000"))
-        scratch = None
+        key = f"pipeline_build_{replicas}x"
         try:
-            # Fail-soft: a pipeline-tier failure must degrade to an
-            # "error" entry, never kill the whole bench artifact the
-            # driver records (the workload timings above are already
-            # measured by this point).  The probe import and scratch
-            # setup sit INSIDE the try for the same reason (r10
-            # ADVICE): tools.pipeline_scale_probe transitively imports
-            # tests/conftest, and an ImportError there must degrade
-            # the same way.
-            from pathlib import Path
-
-            from tools.pipeline_scale_probe import run_build, synthesize
-
-            p_runs = max(
-                1, int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "2"))
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "tools",
+                        "pipeline_bench.py",
+                    ),
+                ],
+                capture_output=True,
+                text=True,
+                timeout=float(
+                    os.environ.get("SPARK_GRAFT_PIPELINE_TIMEOUT_S", "1800")
+                ),
             )
-            scratch = (
-                Path(os.path.dirname(os.path.abspath(__file__)))
-                / ".scratch"
-                / "bench_pipeline"
-            )
-            shutil.rmtree(scratch, ignore_errors=True)
-            synthesize(scratch / "data", replicas)
-            # Warmup at 20 replicas: compiles the build's codegen/UDF
-            # paths (the workload warmup doesn't touch them) without
-            # pre-caching anything measurement-sized.
-            synthesize(scratch / "warm", 20)
-            run_build(spark, str(scratch / "warm"), str(scratch / "warm.ttl"))
-            walls: list[float] = []
-            writes: list[float] = []
-            n_triples = 0
-            for i in range(p_runs):
-                wall, n_triples, ws = run_build(
-                    spark, str(scratch / "data"), str(scratch / f"out{i}.ttl")
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"exit {proc.returncode}: {proc.stderr.strip()[-200:]}"
                 )
-                walls.append(wall)
-                writes.append(ws)
-            pipeline[f"pipeline_build_{replicas}x"] = {
-                "min": round(min(walls), 3),
-                "mean": round(sum(walls) / len(walls), 3),
-                "write_min": round(min(writes), 3),
-                "n": p_runs,
-                "triples": n_triples,
-            }
+            pipeline = json.loads(proc.stdout.strip().splitlines()[-1])
         except Exception as e:  # noqa: BLE001
-            pipeline[f"pipeline_build_{replicas}x"] = {
-                "error": f"{type(e).__name__}: {e}"[:300]
-            }
-        finally:
-            if scratch is not None:
-                shutil.rmtree(scratch, ignore_errors=True)
+            pipeline[key] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     calib_after = _calibrate()
     load_after = os.getloadavg()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "pipeline": pipeline,
-                "calibration": {
-                    "jobs": {
-                        "cpu": "spark.range(1e8).sum(id*3+1), min/mean of 5",
-                        "shuffle": (
-                            "spark.range(2e7).repartition(64,id)"
-                            ".sum(id*3+1), min/mean of 5"
-                        ),
-                    },
-                    "before": calib_before,
-                    "after": calib_after,
-                    "before_attempts": calib_attempts,
-                    "floors": {"cpu": cpu_floor, "shuffle": shuffle_floor},
-                    "gave_up_contended": gave_up_contended,
-                    "settle_wait_s": settle_wait,
-                    "settle_waits_s": settle_waits,
-                    "loadavg_before": [round(x, 2) for x in load_before],
-                    "loadavg_after": [round(x, 2) for x in load_after],
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # The external driver records only the LAST 2000 chars of stdout:
+    # r10/r11's lines crossed that cap (pipeline key + spread) and the
+    # recorded artifacts carried parsed=null — machine comparison
+    # (tools/bench_compare.py) fell back to prose.  Keep the line
+    # comfortably under the cap: compact separators, the probe-job
+    # definitions live in _calibrate's comment instead of the JSON,
+    # per-query run count hoisted to one top-level field, and the
+    # per-attempt probe list emitted only when the settle gate
+    # actually retried (attempt 1 == "before" otherwise).
+    calibration = {
+        "before": calib_before,
+        "after": calib_after,
+        "floors": {"cpu": cpu_floor, "shuffle": shuffle_floor},
+        "gave_up_contended": gave_up_contended,
+        "settle_waits_s": settle_waits,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+    }
+    if len(calib_attempts) > 1:
+        calibration["before_attempts"] = calib_attempts
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "spread": spread,
+            "runs_per_query": n_runs,
+            "pipeline": pipeline,
+            "calibration": calibration,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1900:
+        # Last-resort degrade, never silently exceed the cap: spread
+        # is the most expendable block (mins are the headline).
+        d = json.loads(line)
+        d["spread"] = {"dropped": "line>1900B"}
+        line = json.dumps(d, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -110,6 +110,28 @@ def main() -> int:
         )
         if norm > bar:
             failures.append((name, round(norm, 1)))
+    # Pipeline tier (r10 verdict #4 / r11 #2): the build-path floor
+    # lives under the separate "pipeline" key ({"pipeline_build_2000x":
+    # {"min": ...}}); normalize its min by the probe ratios exactly
+    # like a query row.  Entries that errored (or predate the tier)
+    # are listed but never gate.
+    op, np_ = old.get("pipeline") or {}, new.get("pipeline") or {}
+    for name in sorted(set(op) | set(np_)):
+        ov = (op.get(name) or {}).get("min")
+        nv = (np_.get(name) or {}).get("min")
+        if ov is None or nv is None:
+            status = "new" if ov is None else "dropped/error"
+            print(f"{name:<28}{ov or '—':>8}{nv or '—':>8}{status:>9}")
+            continue
+        raw = (nv - ov) / ov * 100
+        norm = min((nv / r - ov) / ov * 100 for r in ratios.values())
+        flag = " ⚠" if norm > bar else ""
+        print(
+            f"{name:<28}{ov:>8.3f}{nv:>8.3f}{raw:>+8.1f}%{norm:>+8.1f}%{flag}"
+        )
+        if norm > bar:
+            failures.append((name, round(norm, 1)))
+
     tot_o, tot_n = old.get("value"), new.get("value")
     if tot_o and tot_n:
         norm_tot = min(

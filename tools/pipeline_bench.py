@@ -1,0 +1,78 @@
+"""Pipeline-tier bench runner — isolated in its OWN JVM.
+
+bench.py's pipeline tier (build_graph → TTL write at 2,000 fixture
+replicas) used to run inline after the 5×13 workload region and
+inherit that JVM's GC/page-cache state: the r11 driver draw read a
+29.5 s min against a settled 19.31 s floor, and telling contamination
+from regression took a forensic re-probe session (r11 verdict #3).
+Running the tier in a fresh subprocess JVM makes the artifact's number
+load-bearing by construction.
+
+Prints ONE JSON line — the bench artifact's "pipeline" object:
+
+    {"pipeline_build_<N>x": {"min": ..., "mean": ..., "write_min": ...,
+                             "n": ..., "triples": ...}}
+
+Env (same knobs bench.py always honored):
+  SPARK_GRAFT_PIPELINE_REPLICAS  fixture replicas (default 2000)
+  SPARK_GRAFT_PIPELINE_RUNS      timed builds, min reported (default 2)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> None:
+    from omim_spark.session import get_spark
+    from tools.pipeline_scale_probe import run_build, synthesize
+
+    replicas = int(os.environ.get("SPARK_GRAFT_PIPELINE_REPLICAS", "2000"))
+    p_runs = max(1, int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "2")))
+    spark = get_spark("omim-spark-pipeline-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scratch = (
+        Path(__file__).resolve().parent.parent / ".scratch" / "bench_pipeline"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    try:
+        synthesize(scratch / "data", replicas)
+        # Warmup at 20 replicas: compiles the build's codegen/UDF paths
+        # without pre-caching anything measurement-sized.
+        synthesize(scratch / "warm", 20)
+        run_build(spark, str(scratch / "warm"), str(scratch / "warm.ttl"))
+        walls: list[float] = []
+        writes: list[float] = []
+        n_triples = 0
+        for i in range(p_runs):
+            wall, n_triples, ws = run_build(
+                spark, str(scratch / "data"), str(scratch / f"out{i}.ttl")
+            )
+            walls.append(wall)
+            writes.append(ws)
+        print(
+            json.dumps(
+                {
+                    f"pipeline_build_{replicas}x": {
+                        "min": round(min(walls), 3),
+                        "mean": round(sum(walls) / len(walls), 3),
+                        "write_min": round(min(writes), 3),
+                        "n": p_runs,
+                        "triples": n_triples,
+                    }
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
