@@ -28,6 +28,13 @@ from hypothesis import strategies as st
 
 REF_MAIN = Path("/root/reference/omim2obo/main.py")
 
+# Degrade gracefully off this machine (same guard as
+# test_titles_reference_parity.py): the tripwire only means something
+# where the read-only reference checkout exists.
+pytestmark = pytest.mark.skipif(
+    not REF_MAIN.exists(), reason="reference checkout not present"
+)
+
 
 class TestReferenceObsoleteControlFlow:
     def _obsolete_if(self) -> ast.If:
