@@ -853,7 +853,11 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
     train = docs.filter(F.col("source") != CONTAM_BENCH_SOURCE)
     bench_bands = band_signatures(bench).withColumnRenamed("doc_id", "bench_id")
-    tb = band_signatures(train)
+    # tb feeds BOTH the hot-bucket census and the candidate join —
+    # checkpoint the narrow (doc_id, band, sig) table so the minhash
+    # signature computation runs once (same pattern as the LSH
+    # funnel's shingle checkpoint; without it the 1× wall grew 49%).
+    tb = band_signatures(train).localCheckpoint(eager=False)
     hot_bands = (
         tb.groupBy("band", "sig")
         .agg(F.count("*").alias("df"))
