@@ -15,7 +15,18 @@ Prints ONE JSON line — the bench artifact's "pipeline" object:
 
 Env (same knobs bench.py always honored):
   SPARK_GRAFT_PIPELINE_REPLICAS  fixture replicas (default 2000)
-  SPARK_GRAFT_PIPELINE_RUNS      timed builds, min reported (default 2)
+  SPARK_GRAFT_PIPELINE_RUNS      timed builds, min reported (default 3)
+
+MEASUREMENT NOTE (r12): isolation changes what the number measures.
+The old inline tier inherited a JVM with ~10 minutes of prior Spark
+execution — fully C2-compiled — and its settled floor was 19.31 s.
+A fresh JVM has a long JIT tail: with only a 20-replica warmup the
+timed ladder read 30.5, 26.3, 24.9, 23.3 — which is why the warmup
+here is a FULL-SIZE untimed build.  So warmed, the dedicated JVM
+reads 17.75-21.4 min across draws (write_min 5.9-6.2) on the idle
+box — at or below the old hot-JVM floor, and clean by construction:
+it can no longer read 29-55 s because the workload region's
+GC/page-cache state leaked in (the r11 driver draw).
 """
 
 from __future__ import annotations
@@ -34,7 +45,7 @@ def main() -> None:
     from tools.pipeline_scale_probe import run_build, synthesize
 
     replicas = int(os.environ.get("SPARK_GRAFT_PIPELINE_REPLICAS", "2000"))
-    p_runs = max(1, int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "2")))
+    p_runs = max(1, int(os.environ.get("SPARK_GRAFT_PIPELINE_RUNS", "3")))
     spark = get_spark("omim-spark-pipeline-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -44,10 +55,11 @@ def main() -> None:
     shutil.rmtree(scratch, ignore_errors=True)
     try:
         synthesize(scratch / "data", replicas)
-        # Warmup at 20 replicas: compiles the build's codegen/UDF paths
-        # without pre-caching anything measurement-sized.
-        synthesize(scratch / "warm", 20)
-        run_build(spark, str(scratch / "warm"), str(scratch / "warm.ttl"))
+        # Fresh-JVM warmup must be FULL-SIZE: a 20-replica warm leaves
+        # the first timed run ~50% hot (JIT tail), and the measured
+        # ladder only plateaus after a complete build (see module
+        # docstring).  One untimed full build, then steady-state runs.
+        run_build(spark, str(scratch / "data"), str(scratch / "warm.ttl"))
         walls: list[float] = []
         writes: list[float] = []
         n_triples = 0
