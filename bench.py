@@ -196,8 +196,6 @@ def main() -> None:
             # same hot host.  Give the host time to drain between
             # attempts.
             time.sleep(float(os.environ.get("SPARK_GRAFT_RETRY_SLEEP_S", "45")))
-    settle_wait = round(sum(settle_waits), 1)
-
     load_before = os.getloadavg()
 
     # n timed executions per query (default 5, override with
@@ -251,9 +249,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_PIPELINE", "") != "1":
         import subprocess
 
-        replicas = int(os.environ.get("SPARK_GRAFT_PIPELINE_REPLICAS", "2000"))
-        key = f"pipeline_build_{replicas}x"
+        # The env parse sits INSIDE the fail-soft region too: a
+        # malformed SPARK_GRAFT_PIPELINE_REPLICAS must degrade like
+        # any other pipeline-tier failure, not kill the workload
+        # artifact already measured above.
+        key = "pipeline_build"
         try:
+            replicas = int(
+                os.environ.get("SPARK_GRAFT_PIPELINE_REPLICAS", "2000")
+            )
+            key = f"pipeline_build_{replicas}x"
             proc = subprocess.run(
                 [
                     sys.executable,
@@ -313,11 +318,27 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    if len(line) > 1900:
-        # Last-resort degrade, never silently exceed the cap: spread
-        # is the most expendable block (mins are the headline).
-        d = json.loads(line)
-        d["spread"] = {"dropped": "line>1900B"}
+    # Degrade ladder, re-checked after every step — never silently
+    # exceed the cap (a truncated line is the r10/r11 parsed=null
+    # failure all over again).  Spread is the most expendable block
+    # (mins are the headline); then the retry-probe list; then any
+    # long pipeline error string.
+    def _shrink(d: dict) -> dict:
+        if "spread" in d and "dropped" not in d.get("spread", {}):
+            d["spread"] = {"dropped": "line>1900B"}
+            return d
+        if d["calibration"].pop("before_attempts", None) is not None:
+            return d
+        for v in d.get("pipeline", {}).values():
+            if isinstance(v.get("error"), str) and len(v["error"]) > 80:
+                v["error"] = v["error"][:80]
+                return d
+        return d
+    d = json.loads(line)
+    for _ in range(4):
+        if len(line) <= 1900:
+            break
+        d = _shrink(d)
         line = json.dumps(d, separators=(",", ":"))
     print(line)
 

@@ -50,8 +50,19 @@ def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
     if mode == "none":
         return df
     if mode == "reliable":
-        sc = df.sparkSession.sparkContext
-        if sc._jsc.sc().checkpointDir().isEmpty():
+        # Fail fast with a CLEAR error when no checkpoint dir is set —
+        # via the public getCheckpointDir().  Spark Connect sessions
+        # don't expose a driver-side SparkContext at all; there the
+        # probe is skipped and df.checkpoint() itself surfaces any
+        # missing-dir error (Connect manages checkpoint storage
+        # server-side).
+        try:
+            has_dir = (
+                df.sparkSession.sparkContext.getCheckpointDir() is not None
+            )
+        except Exception:
+            has_dir = True
+        if not has_dir:
             raise ValueError(
                 f"{CHECKPOINT_MODE_CONF}=reliable requires "
                 "SparkContext.setCheckpointDir(<reliable store path>)"

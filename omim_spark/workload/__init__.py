@@ -73,6 +73,12 @@ _VERIFY_FIRST = [
     # candidate population a boilerplate-heavy corpus otherwise
     # inflates super-linearly.
     "q_decontaminate_fuzzy",
+    # NEW in round 12 (self-review): the production cap never fires
+    # at driver SFs, so this fixture gate makes it fire under the
+    # oracle — identical-text train docs blow a bucket past the cap
+    # and vanish despite Jaccard 1.0, while an at-cap pair survives
+    # (pins strict >, the train-only census, the anti-join direction).
+    "q_decontaminate_fuzzy_capfire",
     # CHANGED in round 12 (r11 verdict #6 / advice): production
     # operators' lineage cuts (span funnels, CC/label-prop/pagerank,
     # exact decontamination, SSSOM rows, pipeline build) now route

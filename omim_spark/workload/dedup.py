@@ -765,12 +765,15 @@ CONTAM_J = 0.5  # contamination gates lower than dedup's 0.8
 CONTAM_MAX_BAND_DF = 50
 
 
-@register(
-    "q_decontaminate_fuzzy",
-    oracle=f"""
+def _fuzzy_decon_oracle(docs_table: str, cap: int) -> str:
+    """DuckDB replay of :func:`fuzzy_decontaminate` over ``docs_table``
+    (a table name or a parenthesized subquery) with hot-band cap
+    ``cap`` — shared by the production gate and the cap-firing
+    fixture gate so the two can never drift."""
+    return f"""
     WITH shs AS (
       SELECT doc_id, source, UNNEST({SHINGLE_DUCK}) AS s
-      FROM documents
+      FROM {docs_table} AS d0
       WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
     ),
     sh AS (SELECT doc_id, s FROM shs),
@@ -781,7 +784,7 @@ CONTAM_MAX_BAND_DF = 50
              MIN(CASE WHEN j % 2 = 0 THEN h END) AS sig
       FROM mh GROUP BY doc_id, (j - 1) // 2
     ),
-    src AS (SELECT doc_id, source FROM documents),
+    src AS (SELECT doc_id, source FROM {docs_table} AS d1),
     tb AS (
       SELECT t.doc_id, t.band, t.sig
       FROM bands t
@@ -790,7 +793,7 @@ CONTAM_MAX_BAND_DF = 50
     ),
     hotb AS (
       SELECT band, sig FROM tb
-      GROUP BY band, sig HAVING COUNT(*) > {CONTAM_MAX_BAND_DF}
+      GROUP BY band, sig HAVING COUNT(*) > {cap}
     ),
     cand AS (
       SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
@@ -821,22 +824,23 @@ CONTAM_MAX_BAND_DF = 50
     SELECT doc_id, COUNT(*) AS n_bench_matches, MAX(jac) AS max_jaccard
     FROM pairs WHERE jac >= {CONTAM_J}
     GROUP BY doc_id ORDER BY doc_id
-    """,
-)
-def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy benchmark decontamination: training documents whose
+    """
+
+
+def fuzzy_decontaminate(docs: DataFrame, cap: int) -> DataFrame:
+    """Fuzzy benchmark decontamination core: training documents whose
     3-gram shingle Jaccard against ANY held-out benchmark document
     (source = CONTAM_BENCH_SOURCE) reaches CONTAM_J — the near-dup
-    companion to q_decontaminate's exact-8-gram tier, catching
+    companion to the exact-8-gram decontamination tier, catching
     paraphrased/reformatted eval leakage that exact n-gram overlap
     misses (the GPT-3 appendix-C / Dodge et al. C4 protocol, banded
     as in Lee et al. 2022).
 
     Funnel: band_signatures on both sides (row-local, no explode —
     the signature stage performs no shuffle), hot train-side
-    (band, sig) buckets (> CONTAM_MAX_BAND_DF docs — degenerate
-    boilerplate signatures) dropped by anti join before the bench
-    join, candidates = capped train bands ⋈ benchmark bands, then
+    (band, sig) buckets (> ``cap`` docs — degenerate boilerplate
+    signatures) dropped by anti join before the bench join,
+    candidates = capped train bands ⋈ benchmark bands, then
     true-Jaccard verification computed ONLY for candidate train docs
     via the semi-join-before-explode path
     (:func:`_shingles_hashed_of`).
@@ -844,12 +848,11 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the benchmark suite is small BY CONSTRUCTION (an eval
     set, not a crawl) — the explicit broadcasts (bench bands, bench
     shingles, bench sizes) are the same bounded-side argument as
-    q_decontaminate's broadcast semi join, NOT the corpus-
+    the exact tier's broadcast semi join, NOT the corpus-
     proportional candidate-id broadcast that SCALING.md's 100×
     probe vetoed; the train corpus never shuffles its full shingle
     table (only candidate docs explode), so cost tracks
     |candidates|, not |corpus|."""
-    docs = table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
     train = docs.filter(F.col("source") != CONTAM_BENCH_SOURCE)
     bench_bands = band_signatures(bench).withColumnRenamed("doc_id", "bench_id")
@@ -861,7 +864,7 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot_bands = (
         tb.groupBy("band", "sig")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > CONTAM_MAX_BAND_DF)
+        .filter(F.col("df") > cap)
         .select("band", "sig")
     )
     cand = (
@@ -898,6 +901,70 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_decontaminate_fuzzy",
+    oracle=_fuzzy_decon_oracle("documents", CONTAM_MAX_BAND_DF),
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production fuzzy-decontamination gate over the driver's
+    documents table: :func:`fuzzy_decontaminate` at the production
+    hot-band cap.  The cap is a NO-OP at every driver SF by
+    construction (max train band df: 3 at sf0.01, 12 at sf0.1) — the
+    cap-FIRING semantics are pinned by the sibling fixture gate
+    q_decontaminate_fuzzy_capfire, which shares this exact core and
+    oracle builder."""
+    return fuzzy_decontaminate(
+        table(spark, sf_dir, "documents"), CONTAM_MAX_BAND_DF
+    )
+
+
+# Cap-firing fixture (r12 self-review): at the driver SFs the
+# production cap never fires, so an off-by-one (>= vs >) or a wrong
+# anti-join key would gate green while silently breaking the cap.
+# This fixture makes it fire under the oracle: three identical train
+# docs share every band with bench doc fb1 (bucket df 3 > cap 2 →
+# ALL their buckets hot → dropped despite true Jaccard 1.0), while
+# the d4/d5 pair (df 2 = cap, NOT dropped — pins strict >) survives
+# and reports against fb2.  fd6 matches nothing.
+CAPFIRE_CAP = 2
+_CAPFIRE_DOCS = [
+    ("fb1", CONTAM_BENCH_SOURCE, "alpha beta gamma delta epsilon"),
+    ("fb2", CONTAM_BENCH_SOURCE, "zeta eta theta iota kappa"),
+    ("fd1", "srcA", "alpha beta gamma delta epsilon"),
+    ("fd2", "srcA", "alpha beta gamma delta epsilon"),
+    ("fd3", "srcB", "alpha beta gamma delta epsilon"),
+    ("fd4", "srcA", "zeta eta theta iota kappa"),
+    ("fd5", "srcB", "zeta eta theta iota kappa"),
+    ("fd6", "srcA", "lambda mu nu xi omicron"),
+]
+_CAPFIRE_VALUES = ", ".join(
+    f"('{d}', '{s}', '{t}')" for d, s, t in _CAPFIRE_DOCS
+)
+
+
+@register(
+    "q_decontaminate_fuzzy_capfire",
+    oracle=_fuzzy_decon_oracle(
+        f"(SELECT * FROM (VALUES {_CAPFIRE_VALUES})"
+        " AS v(doc_id, source, text))",
+        CAPFIRE_CAP,
+    ),
+)
+def q_decontaminate_fuzzy_capfire(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hot-band cap actually FIRING under the oracle (see the
+    fixture comment above): fd1-fd3's every bucket is hot (df 3 >
+    cap 2) so they vanish despite Jaccard 1.0 vs fb1; fd4/fd5 sit AT
+    the cap (df 2) and survive — the oracle's HAVING > replay hash-
+    pins the strict inequality, the train-side-only census, and the
+    anti-join direction the production gate's data never exercises."""
+    docs = spark.createDataFrame(
+        _CAPFIRE_DOCS, "doc_id string, source string, text string"
+    )
+    return fuzzy_decontaminate(docs, CAPFIRE_CAP)
 
 
 # ---------------------------------------------------------------------------

@@ -32,17 +32,24 @@ class TestCutLineage:
 
     def test_reliable_requires_checkpoint_dir(self, spark, _restore_mode):
         spark.conf.set(CHECKPOINT_MODE_CONF, "reliable")
-        if not spark.sparkContext._jsc.sc().checkpointDir().isEmpty():
+        if spark.sparkContext.getCheckpointDir() is not None:
             pytest.skip("checkpoint dir already set in this session")
         with pytest.raises(ValueError, match="setCheckpointDir"):
             cut_lineage(spark.range(10))
 
-    def test_reliable_checkpoints(self, spark, tmp_path, _restore_mode):
+    def test_reliable_checkpoints(
+        self, spark, tmp_path_factory, _restore_mode
+    ):
         spark.conf.set(CHECKPOINT_MODE_CONF, "reliable")
-        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        # setCheckpointDir is context-global and can't be unset, so
+        # the dir must OUTLIVE this test: a session-scoped factory
+        # path, not function tmp_path (which pytest may reclaim while
+        # later tests still carry the stale pointer).
+        ckpt = tmp_path_factory.mktemp("spark_ckpt")
+        spark.sparkContext.setCheckpointDir(str(ckpt))
         df = cut_lineage(spark.range(10), eager=True)
         assert df.count() == 10
-        assert (tmp_path / "ckpt").exists()
+        assert any(ckpt.iterdir())
 
     def test_invalid_mode_raises(self, spark, _restore_mode):
         spark.conf.set(CHECKPOINT_MODE_CONF, "bogus")

@@ -120,8 +120,16 @@ def main() -> int:
         ov = (op.get(name) or {}).get("min")
         nv = (np_.get(name) or {}).get("min")
         if ov is None or nv is None:
-            status = "new" if ov is None else "dropped/error"
-            print(f"{name:<28}{ov or '—':>8}{nv or '—':>8}{status:>9}")
+            # Distinguish "the tier didn't exist in that round" from
+            # "it ran and errored" (bench.py's fail-soft entry): an
+            # errored old round is history, not a new tier.
+            def _status(d, v):
+                return "err" if v is None and name in d else "—"
+            status = (
+                f"old:{_status(op, ov)}" if ov is None
+                else f"new:{_status(np_, nv)}"
+            )
+            print(f"{name:<28}{ov or '—':>8}{nv or '—':>8}{status:>10}")
             continue
         raw = (nv - ov) / ov * 100
         norm = min((nv / r - ov) / ov * 100 for r in ratios.values())
