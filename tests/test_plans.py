@@ -68,4 +68,7 @@ def test_plan_sweep_no_flags_on_synthesized_corpus(spark, tmp_path_factory):
         "q_dedup_incremental",  # exact-hit id list vs a LocalRelation dim
         "q_omim_assoc_decision",  # inline curator-exclusion fixture dims
         "q_equiv_cliques",  # inline clique fixture dim
+        # r12: the cap-firing fixture gate — 8 inline docs, broadcast
+        # sides bounded by construction like the other fixture dims
+        "q_decontaminate_fuzzy_capfire",
     }, unknown
