@@ -278,7 +278,19 @@ def main() -> None:
                 raise RuntimeError(
                     f"exit {proc.returncode}: {proc.stderr.strip()[-200:]}"
                 )
-            pipeline = json.loads(proc.stdout.strip().splitlines()[-1])
+            parsed = json.loads(proc.stdout.strip().splitlines()[-1])
+            # Shape-validate INSIDE the fail-soft region: stray
+            # JSON-parseable stdout (a list, a scalar, non-dict
+            # values) must degrade to an error entry here, not crash
+            # the shrink ladder after every workload measurement.
+            if not (
+                isinstance(parsed, dict)
+                and all(isinstance(v, dict) for v in parsed.values())
+            ):
+                raise RuntimeError(
+                    f"unexpected pipeline payload: {str(parsed)[:120]}"
+                )
+            pipeline = parsed
         except Exception as e:  # noqa: BLE001
             pipeline[key] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
@@ -304,20 +316,18 @@ def main() -> None:
     }
     if len(calib_attempts) > 1:
         calibration["before_attempts"] = calib_attempts
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": timings,
-            "spread": spread,
-            "runs_per_query": n_runs,
-            "pipeline": pipeline,
-            "calibration": calibration,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        },
-        separators=(",", ":"),
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "runs_per_query": n_runs,
+        "pipeline": pipeline,
+        "calibration": calibration,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
     # Degrade ladder, re-checked after every step — never silently
     # exceed the cap (a truncated line is the r10/r11 parsed=null
     # failure all over again).  Spread is the most expendable block
@@ -334,12 +344,11 @@ def main() -> None:
                 v["error"] = v["error"][:80]
                 return d
         return d
-    d = json.loads(line)
     for _ in range(4):
         if len(line) <= 1900:
             break
-        d = _shrink(d)
-        line = json.dumps(d, separators=(",", ":"))
+        payload = _shrink(payload)
+        line = json.dumps(payload, separators=(",", ":"))
     print(line)
 
 

@@ -30,12 +30,15 @@ REF_MAIN = Path("/root/reference/omim2obo/main.py")
 
 # Degrade gracefully off this machine (same guard as
 # test_titles_reference_parity.py): the tripwire only means something
-# where the read-only reference checkout exists.
-pytestmark = pytest.mark.skipif(
+# where the read-only reference checkout exists.  Scoped to the
+# AST-tripwire class ONLY — TestEmitEntryClassesInvariants exercises
+# the project's own emit_entry_classes and must run everywhere.
+_needs_reference = pytest.mark.skipif(
     not REF_MAIN.exists(), reason="reference checkout not present"
 )
 
 
+@_needs_reference
 class TestReferenceObsoleteControlFlow:
     def _obsolete_if(self) -> ast.If:
         tree = ast.parse(REF_MAIN.read_text())

@@ -6,7 +6,9 @@ Prints a per-query table (old, new, delta %) and exits 1 if any query
 regressed more than ``pct`` percent (default 25 — single-run best-of-2
 timings at sf0.1 vary ±10-20% run-to-run, so a tighter bar false-alarms).
 Queries present in only one file are listed but never fail the gate
-(headline membership legitimately changes across rounds).
+(headline membership legitimately changes across rounds); a pipeline
+entry that ERRORED on the new side does fail it — that error means
+the build-path regression floor silently vanished.
 
 Machine normalization (r8, widened r9): when both artifacts carry a
 calibration block, the new times are divided by a machine ratio
@@ -113,23 +115,31 @@ def main() -> int:
     # Pipeline tier (r10 verdict #4 / r11 #2): the build-path floor
     # lives under the separate "pipeline" key ({"pipeline_build_2000x":
     # {"min": ...}}); normalize its min by the probe ratios exactly
-    # like a query row.  Entries that errored (or predate the tier)
-    # are listed but never gate.
+    # like a query row.  Old-side errors and genuinely new tiers are
+    # informational; a NEW-side error fails the gate (see below).
     op, np_ = old.get("pipeline") or {}, new.get("pipeline") or {}
     for name in sorted(set(op) | set(np_)):
         ov = (op.get(name) or {}).get("min")
         nv = (np_.get(name) or {}).get("min")
         if ov is None or nv is None:
             # Distinguish "the tier didn't exist in that round" from
-            # "it ran and errored" (bench.py's fail-soft entry): an
-            # errored old round is history, not a new tier.
+            # "it ran and errored" (bench.py's fail-soft entry) — and
+            # report BOTH sides, so an absent-old + errored-new row
+            # can't read as a brand-new tier.
             def _status(d, v):
-                return "err" if v is None and name in d else "—"
-            status = (
-                f"old:{_status(op, ov)}" if ov is None
-                else f"new:{_status(np_, nv)}"
+                if v is not None:
+                    return "ok"
+                return "err" if name in d else "—"
+            status = f"old:{_status(op, ov)} new:{_status(np_, nv)}"
+            print(
+                f"{name:<28}{ov or '—':>8}{nv or '—':>8}  {status}"
             )
-            print(f"{name:<28}{ov or '—':>8}{nv or '—':>8}{status:>10}")
+            # Fail-open is the r10/r11 lesson: a NEW-side error means
+            # the regression floor for this tier silently vanished —
+            # gate on it like a regression (an old-side error or a
+            # genuinely new tier stays informational).
+            if nv is None and name in np_:
+                failures.append((name, "new-side error"))
             continue
         raw = (nv - ov) / ov * 100
         norm = min((nv / r - ov) / ov * 100 for r in ratios.values())
