@@ -68,6 +68,62 @@ def _headline_fns() -> dict[str, object]:
     return dict(sorted(fns.items()))
 
 
+LINE_CAP = 1900  # the external driver records only ~2000 stdout chars
+
+
+def emit_line(payload: dict) -> str:
+    """Serialize the bench payload, degrading until the line fits the
+    driver's stdout cap — never emit an over-cap line (a truncated
+    line is the r10/r11 parsed=null failure all over again).
+
+    Ladder, least headline-relevant first: drop the per-query spread
+    (mins are the headline), the retry-probe list, long pipeline error
+    strings, then whole optional blocks (calibration, pipeline).  If
+    the ladder exhausts with the line still over the cap (r12 advice:
+    e.g. a grown queries map), the terminal fallback is a minimal
+    envelope — metric/value/queries/sf + an ``over_cap`` flag — and,
+    if even the queries map alone overflows, the totals only."""
+
+    def _shrink(d: dict) -> dict:
+        if "spread" in d and "dropped" not in d.get("spread", {}):
+            d["spread"] = {"dropped": f"line>{LINE_CAP}B"}
+            return d
+        if d.get("calibration", {}).pop("before_attempts", None) is not None:
+            return d
+        for v in d.get("pipeline", {}).values():
+            if isinstance(v.get("error"), str) and len(v["error"]) > 80:
+                v["error"] = v["error"][:80]
+                return d
+        if "calibration" in d:
+            del d["calibration"]
+            return d
+        if "pipeline" in d:
+            del d["pipeline"]
+            return d
+        return d
+
+    line = json.dumps(payload, separators=(",", ":"))
+    for _ in range(6):
+        if len(line) <= LINE_CAP:
+            break
+        payload = _shrink(payload)
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > LINE_CAP:
+        minimal = {
+            "metric": payload.get("metric"),
+            "value": payload.get("value"),
+            "unit": payload.get("unit"),
+            "queries": payload.get("queries", {}),
+            "sf": payload.get("sf"),
+            "over_cap": True,
+        }
+        line = json.dumps(minimal, separators=(",", ":"))
+        if len(line) > LINE_CAP:
+            minimal["n_queries"] = len(minimal.pop("queries"))
+            line = json.dumps(minimal, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -327,29 +383,7 @@ def main() -> None:
         "calibration": calibration,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    line = json.dumps(payload, separators=(",", ":"))
-    # Degrade ladder, re-checked after every step — never silently
-    # exceed the cap (a truncated line is the r10/r11 parsed=null
-    # failure all over again).  Spread is the most expendable block
-    # (mins are the headline); then the retry-probe list; then any
-    # long pipeline error string.
-    def _shrink(d: dict) -> dict:
-        if "spread" in d and "dropped" not in d.get("spread", {}):
-            d["spread"] = {"dropped": "line>1900B"}
-            return d
-        if d["calibration"].pop("before_attempts", None) is not None:
-            return d
-        for v in d.get("pipeline", {}).values():
-            if isinstance(v.get("error"), str) and len(v["error"]) > 80:
-                v["error"] = v["error"][:80]
-                return d
-        return d
-    for _ in range(4):
-        if len(line) <= 1900:
-            break
-        payload = _shrink(payload)
-        line = json.dumps(payload, separators=(",", ":"))
-    print(line)
+    print(emit_line(payload))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,202 @@
+"""Tests for the bench tooling: bench_compare's parsed=null artifact
+recovery (r12 verdict #1) and its measurement-regime guard for the
+pipeline tier (r12 advice)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_bench_compare():
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare", REPO / "tools" / "bench_compare.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run(monkeypatch, capsys, argv):
+    mod = _load_bench_compare()
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", *argv])
+    rc = mod.main()
+    return rc, capsys.readouterr().out
+
+
+def _write(tmp_path, name, obj):
+    p = tmp_path / name
+    p.write_text(json.dumps(obj))
+    return str(p)
+
+
+_OK_PAYLOAD = {
+    "metric": "headline_queries_total_wall",
+    "value": 2.0,
+    "unit": "sec",
+    "queries": {"q01": 1.0, "q02": 1.0},
+    "sf": 0.1,
+}
+
+
+def test_parsed_null_head_truncated_tail_recovers(
+    tmp_path, monkeypatch, capsys
+):
+    # The r10/r11 artifact shape: parsed=null, tail = the LAST 2000
+    # chars of a longer line — head-truncated, so metric/value are
+    # gone but the object suffix from "queries" onward survives.
+    full = json.dumps(
+        {**_OK_PAYLOAD, "queries": {"q01": 1.2, "q02": 0.8}},
+        separators=(",", ":"),
+    )
+    tail = full[full.find('"queries"') - 20 :] + "\n"
+    assert not tail.lstrip().startswith("{")
+    old = _write(
+        tmp_path,
+        "old.json",
+        {"n": 1, "rc": 0, "tail": tail, "parsed": None},
+    )
+    new = _write(tmp_path, "new.json", {"parsed": _OK_PAYLOAD})
+    rc, out = _run(monkeypatch, capsys, [old, new])
+    assert rc == 0
+    assert "recovered from its head-truncated tail" in out
+    assert "q01" in out and "q02" in out
+
+
+def test_parsed_null_complete_line_in_tail(tmp_path, monkeypatch, capsys):
+    full = json.dumps(_OK_PAYLOAD, separators=(",", ":"))
+    old = _write(
+        tmp_path,
+        "old.json",
+        {"tail": "some stderr noise\n" + full + "\n", "parsed": None},
+    )
+    new = _write(tmp_path, "new.json", {"parsed": _OK_PAYLOAD})
+    rc, out = _run(monkeypatch, capsys, [old, new])
+    assert rc == 0
+    assert "head-truncated" not in out  # tier 1 hit, no reconstruction
+    assert "q01" in out
+
+
+def test_parsed_null_unrecoverable_exits(tmp_path, monkeypatch, capsys):
+    old = _write(
+        tmp_path, "old.json", {"tail": "no json here", "parsed": None}
+    )
+    new = _write(tmp_path, "new.json", {"parsed": _OK_PAYLOAD})
+    mod = _load_bench_compare()
+    monkeypatch.setattr(sys, "argv", ["bench_compare.py", old, new])
+    try:
+        mod.main()
+    except SystemExit as e:
+        assert "no bench payload recoverable" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected SystemExit")
+
+
+def test_pipeline_regime_change_not_gated(tmp_path, monkeypatch, capsys):
+    # Inline hot-JVM old floor vs fresh-JVM new measurement: a +50%
+    # delta across the regime boundary must print as a floor reset,
+    # not fail the gate.
+    old = _write(
+        tmp_path,
+        "old.json",
+        {**_OK_PAYLOAD, "pipeline": {"pipeline_build_2000x": {"min": 10.0}}},
+    )
+    new = _write(
+        tmp_path,
+        "new.json",
+        {
+            **_OK_PAYLOAD,
+            "pipeline": {
+                "pipeline_build_2000x": {"min": 15.0, "regime": "fresh_jvm"}
+            },
+        },
+    )
+    rc, out = _run(monkeypatch, capsys, [old, new])
+    assert rc == 0
+    assert "floor reset, not gated" in out
+
+
+def _payload(**over):
+    base = {
+        "metric": "headline_queries_total_wall",
+        "value": 2.0,
+        "unit": "sec",
+        "queries": {"q01": 1.0, "q02": 1.0},
+        "spread": {"q01": [1.0, 1.1], "q02": [1.0, 1.2]},
+        "runs_per_query": 2,
+        "pipeline": {},
+        "calibration": {"before": {"cpu": {"min": 0.1}}},
+        "sf": 0.1,
+    }
+    base.update(over)
+    return base
+
+
+def test_emit_line_under_cap_is_verbatim():
+    sys.path.insert(0, str(REPO))
+    try:
+        from bench import emit_line
+    finally:
+        sys.path.pop(0)
+    p = _payload()
+    assert json.loads(emit_line(dict(p))) == p
+
+
+def test_emit_line_never_exceeds_cap():
+    sys.path.insert(0, str(REPO))
+    try:
+        from bench import LINE_CAP, emit_line
+    finally:
+        sys.path.pop(0)
+    # Adversarial payloads the 4-step r12 ladder could NOT shrink:
+    # many pipeline error entries, then a queries map that alone
+    # overflows the cap.
+    many_errors = _payload(
+        pipeline={
+            f"tier_{i}": {"error": "x" * 400} for i in range(30)
+        }
+    )
+    line = emit_line(many_errors)
+    assert len(line) <= LINE_CAP
+    parsed = json.loads(line)
+    assert parsed["value"] == 2.0
+
+    huge_queries = _payload(
+        queries={f"q_very_long_name_{i:04d}": 1.0 for i in range(200)}
+    )
+    line = emit_line(huge_queries)
+    assert len(line) <= LINE_CAP
+    parsed = json.loads(line)
+    assert parsed["over_cap"] is True
+    assert parsed["n_queries"] == 200
+    assert parsed["value"] == 2.0
+
+
+def test_pipeline_same_regime_still_gated(tmp_path, monkeypatch, capsys):
+    old = _write(
+        tmp_path,
+        "old.json",
+        {
+            **_OK_PAYLOAD,
+            "pipeline": {
+                "pipeline_build_2000x": {"min": 10.0, "regime": "fresh_jvm"}
+            },
+        },
+    )
+    new = _write(
+        tmp_path,
+        "new.json",
+        {
+            **_OK_PAYLOAD,
+            "pipeline": {
+                "pipeline_build_2000x": {"min": 15.0, "regime": "fresh_jvm"}
+            },
+        },
+    )
+    rc, out = _run(monkeypatch, capsys, [old, new])
+    assert rc == 1
+    assert "pipeline_build_2000x" in out

@@ -78,6 +78,14 @@ def main() -> None:
                         "write_min": round(min(writes), 3),
                         "n": p_runs,
                         "triples": n_triples,
+                        # Measurement-regime marker (r12 advice): r9-r11
+                        # pipeline floors were inline hot-JVM numbers;
+                        # this tier is a fresh subprocess JVM.  Cross-
+                        # regime artifact pairs must not be gated as
+                        # regressions — bench_compare reads this field
+                        # and demotes mismatched-regime rows to
+                        # informational (absent field == legacy inline).
+                        "regime": "fresh_jvm",
                     }
                 }
             )
