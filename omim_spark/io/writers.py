@@ -89,26 +89,55 @@ def _ttl_header() -> str:
     return "\n".join(header) + "\n\n"
 
 
-# Above this many triples, write_ttl routes through the sharded
-# writer: the row-at-a-time toLocalIterator relay is fine for OMIM's
-# low-millions of triples but becomes the serial bottleneck past that,
-# while executor-written shards + a bulk byte concat stay I/O-bound.
+# Above this many triples, write_ttl (in auto mode) routes through
+# the sharded writer: the row-at-a-time toLocalIterator relay is fine
+# for OMIM's low-millions of triples but becomes the serial bottleneck
+# past that (r10 probe: the driver byte-concat share grew 35% -> 59%
+# from 7.3M -> 73M triples), while executor-written shards + a bulk
+# byte concat stay I/O-bound.
 TTL_SHARDED_THRESHOLD = 2_000_000
+
+# Deployment tier for the TTL sink (r12 verdict #5), mirroring
+# spark.omim.checkpoint.mode: one conf flips the writer instead of
+# editing call sites.
+# - auto (default): count the triples once and dispatch on
+#   TTL_SHARDED_THRESHOLD — small sets stream through the driver,
+#   large ones go sharded.
+# - driver: force the toLocalIterator path (skips the sizing count —
+#   for callers that KNOW the output is small).
+# - sharded: force the distributed shards + driver bulk concat (still
+#   one output file; skips the sizing count).
+# - sharded_keep: fully distributed — executors write range shards +
+#   a manifest, NO driver concat at all.  The 100 TB form: the driver
+#   never touches the bytes; downstream consumers read the manifest.
+TTL_WRITER_CONF = "spark.omim.ttl.writer"
+_TTL_WRITER_MODES = ("auto", "driver", "sharded", "sharded_keep")
 
 
 def write_ttl(triples: DataFrame, path: str) -> None:
-    """Serialize to a single Turtle file, dispatching on size: small
-    triple sets stream through the driver via ``toLocalIterator`` (one
-    partition at a time — bounded driver memory), and anything past
-    ``TTL_SHARDED_THRESHOLD`` rows routes through
-    :func:`write_ttl_sharded`, whose executor-written range shards +
-    bulk byte concat remove the row-at-a-time driver relay entirely.
-    Both paths emit byte-identical files (test_writers.py pins it), so
-    a naive caller gets the scale path automatically.
-
-    The dispatch count is one extra distributed pass over the triple
-    set — noise next to the ordered serialization it sizes."""
-    if triples.count() > TTL_SHARDED_THRESHOLD:
+    """Serialize to a single Turtle file, dispatching on the
+    ``spark.omim.ttl.writer`` conf (default ``auto``: size-thresholded
+    — small triple sets stream through the driver via
+    ``toLocalIterator``, one partition at a time with bounded driver
+    memory; anything past ``TTL_SHARDED_THRESHOLD`` rows routes
+    through :func:`write_ttl_sharded`, whose executor-written range
+    shards + bulk byte concat remove the row-at-a-time driver relay
+    entirely).  ``driver``/``sharded`` force a path without the sizing
+    count; ``sharded_keep`` skips even the driver concat (shards +
+    manifest only).  The single-file paths emit byte-identical files
+    (test_writers.py pins it), so a naive caller gets the scale path
+    automatically."""
+    mode = triples.sparkSession.conf.get(TTL_WRITER_CONF, "auto")
+    if mode not in _TTL_WRITER_MODES:
+        raise ValueError(
+            f"{TTL_WRITER_CONF}={mode!r}: expected one of {_TTL_WRITER_MODES}"
+        )
+    if mode == "sharded_keep":
+        write_ttl_sharded(triples, path, keep_shards=True)
+        return
+    if mode == "sharded" or (
+        mode == "auto" and triples.count() > TTL_SHARDED_THRESHOLD
+    ):
         write_ttl_sharded(triples, path)
         return
     body = (

@@ -55,17 +55,37 @@ def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
         # don't expose a driver-side SparkContext at all; there the
         # probe is skipped and df.checkpoint() itself surfaces any
         # missing-dir error (Connect manages checkpoint storage
-        # server-side).
+        # server-side).  Only the Connect-shaped exceptions skip the
+        # probe (r12 advice: a bare except also swallowed genuine
+        # py4j/driver failures, degrading this fail-fast into a later,
+        # less clear df.checkpoint() error) — anything else propagates.
         try:
-            has_dir = (
-                df.sparkSession.sparkContext.getCheckpointDir() is not None
-            )
-        except Exception:
-            has_dir = True
-        if not has_dir:
+            from pyspark.errors import PySparkNotImplementedError
+
+            _connect_errs: tuple = (AttributeError, PySparkNotImplementedError)
+        except ImportError:  # pragma: no cover - pyspark<3.4
+            _connect_errs = (AttributeError,)
+        try:
+            sc = df.sparkSession.sparkContext
+        except _connect_errs:
+            sc = None
+        if sc is not None and sc.getCheckpointDir() is None:
             raise ValueError(
                 f"{CHECKPOINT_MODE_CONF}=reliable requires "
                 "SparkContext.setCheckpointDir(<reliable store path>)"
             )
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def materialize_before_cleanup(df: DataFrame) -> DataFrame:
+    """Eager executor-local materialization that must happen REGARDLESS
+    of ``spark.omim.checkpoint.mode`` — for results whose input files
+    are deleted immediately after (scratch fixtures, the IVF probe's
+    temporary parquet index).  This is a correctness pin on the
+    fixture's lifetime, NOT a deployment-tier lineage cut: under
+    ``mode=none`` a cut_lineage here would return the lazy plan and the
+    later collect would read already-deleted files.  Kept separate so
+    "every raw localCheckpoint outside fixture bodies routes through
+    cut_lineage" stays auditable."""
+    return df.localCheckpoint(eager=True)

@@ -47,48 +47,56 @@ from . import maintenance  # noqa: E402,F401
 # window is final — the driver then verifies exactly that code, making
 # the manifest the next round's "last driver-green" baseline.
 #
-# Round-12 window:
-# - entering round 12 the cumulative state is: CORRECTNESS_r11 50/50
-#   green; all 190 registered queries driver-green AND hash-matchable
+# Round-13 window:
+# - entering round 13 the cumulative state is: CORRECTNESS_r12 50/50
+#   green; all 193 registered queries driver-green AND hash-matchable
 #   with code AST-identical since their green (ledger-enforced);
-#   green histogram {r7: 2, r8: 46, r9: 45, r10: 47, r11: 50}.
-# - _VERIFY_FIRST stays MINIMAL so the fill drains the 2 remaining
-#   r7 greens (q_stream_curation, q_substring_spans — the r11 verdict
-#   drain target) plus the oldest r8 rows.
+#   green histogram {r8: 9, r9: 45, r10: 45, r11: 44, r12: 50}.
+# - 20 slots below (2 new gates + 18 changed-closure rides); the ~30
+#   fill slots take all nine r8 greens (the r12 verdict drain target:
+#   q02/q07/q08/q09/q11/q19/q20/q21/q22) plus the oldest r9s.
 _VERIFY_FIRST = [
-    # NEW in round 12: the API-entry JSON path promoted from
-    # builder-only to driver-gated (the last oracle-expressible
-    # composed surface, r11 VERDICT #1) — scratch landed-JSON
-    # envelope → read_entry_json multiLine scan → the api_entries
-    # transforms (core/pubmed/mapped-ids/phenotypic-series,
-    # reference omim_entry_parser.py:62-160,386-422) and the
-    # gene-association enrichment report (reference
-    # extract_omim_information.py:24-125).
-    "q_omim_api_entry_parse",
-    "q_omim_gene_assoc_report",
-    # CHANGED in round 12 (r11 verdict #5): q_decontaminate_fuzzy
-    # gained the hot-band bucket cap (train-side (band, sig) buckets
-    # with > CONTAM_MAX_BAND_DF docs dropped before the bench join,
-    # replayed in the oracle with HAVING + NOT EXISTS) — bounds the
-    # candidate population a boilerplate-heavy corpus otherwise
-    # inflates super-linearly.
+    # NEW in round 13 (r12 advice, medium): fuzzy decontamination no
+    # longer silently LOSES fully-capped train docs (every band bucket
+    # hot — >cap near-identical copies of a leaked passage).  Those
+    # docs now route to a direct shingle-overlap fallback against the
+    # broadcast bench shingles (strictly better recall than banding),
+    # and the output's new via_fallback column makes the routing
+    # auditable.  The capfire fixture now pins the FIRE path both
+    # ways: fd1-fd3 report via_fallback=true (recall recovered),
+    # at-cap fd4/fd5 report via_fallback=false (strict > pinned —
+    # a >= regression flips their flag and hash-mismatches).
     "q_decontaminate_fuzzy",
-    # NEW in round 12 (self-review): the production cap never fires
-    # at driver SFs, so this fixture gate makes it fire under the
-    # oracle — identical-text train docs blow a bucket past the cap
-    # and vanish despite Jaccard 1.0, while an at-cap pair survives
-    # (pins strict >, the train-only census, the anti-join direction).
     "q_decontaminate_fuzzy_capfire",
-    # CHANGED in round 12 (r11 verdict #6 / advice): production
-    # operators' lineage cuts (span funnels, CC/label-prop/pagerank,
-    # exact decontamination, SSSOM rows, pipeline build) now route
-    # through operators/checkpoint.cut_lineage — localCheckpoint by
-    # default, spark.omim.checkpoint.mode=reliable for clusters where
-    # executor loss must recompute instead of failing.  These ride
-    # the closure change; plans are byte-identical in 'local' mode.
-    "q_decontaminate",
+    # NEW in round 13 (r12 verdict #8): the hot-SHINGLE cap (MAX_DF)
+    # gets the same cap-firing oracle fixture the band cap got in r12
+    # — an at-cap pair survives (strict >), a fully-hot pair vanishes,
+    # and one pair's Jaccard crosses 0.8 ONLY because the cap reaches
+    # the verification tier too (shared lsh_capped_pairs core +
+    # _lsh_capped_oracle builder, so gate and fixture can never
+    # drift).
+    "q_dedup_lsh_capfire",
+    # CHANGED in round 13 (r12 verdict #2): the shared workload/
+    # capability cores' lineage cuts (LSH funnel shingle/candidate
+    # tables, fuzzy-decon band table, recall metrics, incremental
+    # dedup, crossmodal near-dup, perplexity LM build) now route
+    # through operators/checkpoint.cut_lineage like their operators/
+    # siblings — plans byte-identical in 'local' mode; plus the
+    # narrowed Connect-probe except in cut_lineage itself (r12
+    # advice) rides into every consumer's closure.
+    "q_dedup_lsh_capped",
+    "q_dedup_minhash_lsh",
+    "q_dedup_incremental",
     "q_dedup_cluster_histogram",
     "q_dedup_cluster_survivors",
+    "q_lsh_recall",
+    "q_lsh_recall_sampled",
+    "q_crossmodal_neardup",
+    "q_perplexity_filter",
+    "q_ann_ivf_stored",
+    # CHANGED in round 13: cut_lineage closure rides only (the
+    # narrowed except; no workload-side edits).
+    "q_decontaminate",
     "q_label_propagation",
     "q_pagerank_steps",
     "q_substring_dup_stats",

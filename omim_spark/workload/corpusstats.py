@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from omim_spark.operators.checkpoint import cut_lineage
 from pyspark.sql.window import Window
 
 from .registry import events_table, register, table
@@ -966,7 +968,7 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # db feeds BOTH the LM build and the scoring join: checkpoint
         # so the tokenize+Generate corpus pass materializes once
         # (lazy — same pattern as the dedup funnels, dedup.py:391).
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     cnt2 = db.groupBy("w1", "w2").agg(F.sum("c").alias("n2"))
     cnt1 = cnt2.groupBy("w1").agg(F.sum("n2").alias("n1"))

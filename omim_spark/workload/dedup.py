@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from omim_spark.operators.checkpoint import cut_lineage
+
 from .registry import register, table
 
 # Word-level 3-gram shingles, 1-based indexing — identical semantics in
@@ -393,7 +395,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-deriving signatures from the raw text twice."""
     bands = band_signatures(
         table(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -472,7 +474,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed shingles (see q_dedup_ngram_jaccard)."""
     cand = (
         _lsh_candidates(spark, sf_dir)
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     # Shingles ONLY for candidate docs: semi-join the candidate ids
     # into the scan side.
@@ -481,8 +483,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_h = _candidate_shingles(spark, sf_dir, cand_ids).localCheckpoint(
-        eager=False
+    sh_h = _candidate_shingles(spark, sf_dir, cand_ids).transform(
+        cut_lineage, eager=False
     )
     # SMJ hints: the shingle/size tables are candidate-proportional
     # but statically misestimated as tiny (see jaccard_verify) — an
@@ -629,7 +631,7 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         )
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     # Shingles only for candidate docs (semi join BEFORE the explode)
     # — the corpus-wide shingle table is never materialized.
@@ -653,15 +655,18 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_lsh_capped",
-    # Promoted to headline in round 5 (the judge's decision rule: the
-    # uncapped funnel measured exponent 1.13 at 100x, so the capped
-    # production shape is the one the bench times).
-    headline=True,
-    oracle=f"""
-    WITH {_SHINGLE_CTE_DUCK},
-    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {MAX_DF}),
+def _lsh_capped_oracle(docs_table: str, cap: int) -> str:
+    """DuckDB replay of :func:`lsh_capped_pairs` over ``docs_table``
+    (a table name or a parenthesized subquery) with hot-shingle cap
+    ``cap`` — shared by the production headline gate and the
+    cap-firing fixture gate so the two can never drift."""
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST({SHINGLE_DUCK}) AS s
+      FROM {docs_table} AS d0
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ),
+    hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > {cap}),
     shc AS (SELECT doc_id, s FROM sh ANTI JOIN hot USING (s)),
     mh AS ({_mh_cte_duck('shc')}),
     bands AS (
@@ -690,7 +695,16 @@ def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
     ORDER BY doc_a, doc_b
-    """,
+    """
+
+
+@register(
+    "q_dedup_lsh_capped",
+    # Promoted to headline in round 5 (the judge's decision rule: the
+    # uncapped funnel measured exponent 1.13 at 100x, so the capped
+    # production shape is the one the bench times).
+    headline=True,
+    oracle=_lsh_capped_oracle("documents", MAX_DF),
 )
 def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION near-dup funnel: identical to q_dedup_minhash_lsh
@@ -698,15 +712,34 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped) applied before minhashing — the mitigation that keeps the
     candidate join bounded under corpus growth (measured flat in
     SCALING.md).  The cap is deterministic, so the oracle replays it
-    with a HAVING clause and the gate stays exact."""
-    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    with a HAVING clause and the gate stays exact.  The cap never
+    FIRES at the driver SFs — the fire path (strict >, cap applied to
+    both the signature AND verification tiers) is pinned by the
+    sibling fixture gate q_dedup_lsh_capfire, which shares this exact
+    core (:func:`lsh_capped_pairs`) and oracle builder."""
+    return lsh_capped_pairs(table(spark, sf_dir, "documents"), MAX_DF)
+
+
+def lsh_capped_pairs(docs: DataFrame, max_df: int) -> DataFrame:
+    """The df-capped MinHash-LSH near-dup core over any (doc_id, text)
+    DataFrame: shingles with document frequency > ``max_df`` are
+    dropped BEFORE minhashing and before Jaccard verification (both
+    tiers see the same capped shingle set — capping only the signature
+    tier would report pre-cap Jaccards the candidate generation never
+    saw)."""
+    sh = (
+        docs.withColumn("tk", F.split("text", " "))
+        .filter(F.size("tk") >= 3)
+        .select("doc_id", F.explode(F.expr(SHINGLE_SPARK)).alias("s"))
+        .transform(cut_lineage, eager=False)
+    )
     hot = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > MAX_DF)
+        .filter(F.col("df") > max_df)
         .select("s")
     )
-    shc = sh.join(hot, "s", "left_anti").localCheckpoint(eager=False)
+    shc = sh.join(hot, "s", "left_anti").transform(cut_lineage, eager=False)
     shc_h = shc.select("doc_id", F.xxhash64("s").alias("s"))
     mh_wide = _minhash_wide(shc)
     band_pairs = ", ".join(
@@ -745,6 +778,54 @@ def q_dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Cap-firing fixture for the HOT-SHINGLE cap (r12 verdict #8 — the
+# same off-by-one class the band-cap capfire fixture covers for the
+# fuzzy tier): at the driver SFs MAX_DF never fires, so a >= vs >
+# regression or a verification tier reading UNCAPPED shingles would
+# gate green.  With cap 2:
+# - p1/p2 (identical, unique tokens): every shingle df 2 = cap, KEPT
+#   → pair (p1, p2, 1.0).  A >= regression drops them → mismatch.
+# - b1/b2 (identical boilerplate B, also prefixing m1): B-internal
+#   shingles df 3 > cap, DROPPED → b1/b2 lose every shingle and
+#   vanish despite raw Jaccard 1.0 → pins the cap firing.
+# - m1 = B + core C, m2 = C: uncapped Jaccard 8/13 ≈ 0.615 (<0.8, no
+#   pair); capped, m1 keeps only its 2 junction shingles + the 8 C
+#   shingles (df 2, kept) → 8/10 = 0.8 → pair (m1, m2, 0.8) appears
+#   ONLY if the cap reaches the verification tier too.
+LSH_CAPFIRE_CAP = 2
+_LSH_CAPFIRE_DOCS = [
+    ("b1", "xa xb xc xd xe"),
+    ("b2", "xa xb xc xd xe"),
+    ("m1", "xa xb xc xd xe ca cb cc cd ce cf cg ch ci cj"),
+    ("m2", "ca cb cc cd ce cf cg ch ci cj"),
+    ("p1", "pa pb pc pd pe"),
+    ("p2", "pa pb pc pd pe"),
+]
+_LSH_CAPFIRE_VALUES = ", ".join(
+    f"('{d}', '{t}')" for d, t in _LSH_CAPFIRE_DOCS
+)
+
+
+@register(
+    "q_dedup_lsh_capfire",
+    oracle=_lsh_capped_oracle(
+        f"(SELECT * FROM (VALUES {_LSH_CAPFIRE_VALUES})"
+        " AS v(doc_id, text))",
+        LSH_CAPFIRE_CAP,
+    ),
+)
+def q_dedup_lsh_capfire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-shingle df cap actually FIRING under the oracle (see
+    the fixture comment above): expected rows (m1, m2, 0.8) — a pair
+    that exists ONLY because the cap is applied to both the signature
+    and the verification tier — and (p1, p2, 1.0) pinning the strict
+    inequality; the fully-hot b1/b2 pair must NOT appear."""
+    docs = spark.createDataFrame(
+        _LSH_CAPFIRE_DOCS, "doc_id string, text string"
+    )
+    return lsh_capped_pairs(docs, LSH_CAPFIRE_CAP)
 
 
 # ---------------------------------------------------------------------------
@@ -795,35 +876,57 @@ def _fuzzy_decon_oracle(docs_table: str, cap: int) -> str:
       SELECT band, sig FROM tb
       GROUP BY band, sig HAVING COUNT(*) > {cap}
     ),
-    cand AS (
-      SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
-      FROM tb t
-      JOIN bands b ON t.band = b.band AND t.sig = b.sig
-      JOIN src sb ON b.doc_id = sb.doc_id
-                 AND sb.source = '{CONTAM_BENCH_SOURCE}'
+    survband AS (
+      SELECT t.doc_id, t.band, t.sig FROM tb t
       WHERE NOT EXISTS (
         SELECT 1 FROM hotb h
         WHERE h.band = t.band AND h.sig = t.sig
       )
     ),
+    cand_band AS (
+      SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id,
+             FALSE AS via_fallback
+      FROM survband t
+      JOIN bands b ON t.band = b.band AND t.sig = b.sig
+      JOIN src sb ON b.doc_id = sb.doc_id
+                 AND sb.source = '{CONTAM_BENCH_SOURCE}'
+    ),
+    capped AS (
+      SELECT DISTINCT doc_id FROM tb
+      EXCEPT
+      SELECT DISTINCT doc_id FROM survband
+    ),
+    cand_fb AS (
+      SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id,
+             TRUE AS via_fallback
+      FROM sh x
+      JOIN capped c ON x.doc_id = c.doc_id
+      JOIN sh y ON y.s = x.s
+      JOIN src sb ON y.doc_id = sb.doc_id
+                 AND sb.source = '{CONTAM_BENCH_SOURCE}'
+    ),
+    cand AS (
+      SELECT * FROM cand_band UNION ALL SELECT * FROM cand_fb
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT c.doc_id, c.bench_id, COUNT(*) AS n_common
+      SELECT c.doc_id, c.bench_id, c.via_fallback, COUNT(*) AS n_common
       FROM cand c
       JOIN sh x ON x.doc_id = c.doc_id
       JOIN sh y ON y.doc_id = c.bench_id AND y.s = x.s
-      GROUP BY c.doc_id, c.bench_id
+      GROUP BY c.doc_id, c.bench_id, c.via_fallback
     ),
     pairs AS (
-      SELECT i.doc_id,
+      SELECT i.doc_id, i.via_fallback,
              CAST(n_common AS DOUBLE) / (st.n + sb.n - n_common) AS jac
       FROM inter i
       JOIN sizes st ON i.doc_id = st.doc_id
       JOIN sizes sb ON i.bench_id = sb.doc_id
     )
-    SELECT doc_id, COUNT(*) AS n_bench_matches, MAX(jac) AS max_jaccard
+    SELECT doc_id, COUNT(*) AS n_bench_matches, MAX(jac) AS max_jaccard,
+           via_fallback
     FROM pairs WHERE jac >= {CONTAM_J}
-    GROUP BY doc_id ORDER BY doc_id
+    GROUP BY doc_id, via_fallback ORDER BY doc_id
     """
 
 
@@ -845,6 +948,19 @@ def fuzzy_decontaminate(docs: DataFrame, cap: int) -> DataFrame:
     via the semi-join-before-explode path
     (:func:`_shingles_hashed_of`).
 
+    FULLY-capped docs (r12 advice): a doc whose EVERY band bucket is
+    hot — >cap near-identical paraphrased copies of a leaked eval
+    passage, exactly the boilerplate the cap targets — would escape
+    banding entirely.  Those docs route to a direct shingle-overlap
+    fallback against the benchmark instead: their shingles equi-join
+    the broadcast bench shingle table, and every pair sharing a
+    shingle goes through the SAME true-Jaccard verification.  The
+    fallback has STRICTLY better recall than banding (banding needs a
+    full band collision; the fallback needs one shared shingle), so
+    the cap no longer loses contaminated docs — and the output's
+    ``via_fallback`` column makes the cap's routing auditable
+    (pinned fire-path by q_decontaminate_fuzzy_capfire).
+
     Scale: the benchmark suite is small BY CONSTRUCTION (an eval
     set, not a crawl) — the explicit broadcasts (bench bands, bench
     shingles, bench sizes) are the same bounded-side argument as
@@ -852,53 +968,85 @@ def fuzzy_decontaminate(docs: DataFrame, cap: int) -> DataFrame:
     proportional candidate-id broadcast that SCALING.md's 100×
     probe vetoed; the train corpus never shuffles its full shingle
     table (only candidate docs explode), so cost tracks
-    |candidates|, not |corpus|."""
+    |candidates|, not |corpus|.  The fallback's worst case (every
+    train doc fully capped) degenerates to the exact-decon tier's
+    shape — one map-side pass of the corpus shingles against a
+    broadcast bench structure — which SCALING.md already budgets."""
     bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
     train = docs.filter(F.col("source") != CONTAM_BENCH_SOURCE)
     bench_bands = band_signatures(bench).withColumnRenamed("doc_id", "bench_id")
-    # tb feeds BOTH the hot-bucket census and the candidate join —
-    # checkpoint the narrow (doc_id, band, sig) table so the minhash
-    # signature computation runs once (same pattern as the LSH
-    # funnel's shingle checkpoint; without it the 1× wall grew 49%).
-    tb = band_signatures(train).localCheckpoint(eager=False)
+    # tb feeds the hot-bucket census, the candidate join AND the
+    # fully-capped census — checkpoint the narrow (doc_id, band, sig)
+    # table so the minhash signature computation runs once (same
+    # pattern as the LSH funnel's shingle checkpoint; without it the
+    # 1× wall grew 49%).
+    tb = band_signatures(train).transform(cut_lineage, eager=False)
     hot_bands = (
         tb.groupBy("band", "sig")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > cap)
         .select("band", "sig")
     )
-    cand = (
-        tb.join(hot_bands, ["band", "sig"], "left_anti")
-        .join(F.broadcast(bench_bands), ["band", "sig"])
+    surviving = tb.join(hot_bands, ["band", "sig"], "left_anti")
+    cand_band = (
+        surviving.join(F.broadcast(bench_bands), ["band", "sig"])
         .select("doc_id", "bench_id")
         .distinct()
-        .localCheckpoint(eager=False)
+    )
+    # Bench shingles serve the fallback candidate join AND the
+    # verification join — one compute, broadcast both times.
+    bsh = (
+        _shingles_hashed_of(bench)
+        .withColumnRenamed("doc_id", "bench_id")
+        .transform(cut_lineage, eager=False)
+    )
+    # Fully-capped docs: banded (present in tb) but with zero
+    # surviving band rows.  Two distinct-projections of the narrow
+    # checkpointed tb — an aggregate-sized anti join, not a scan.
+    capped_docs = (
+        tb.select("doc_id")
+        .distinct()
+        .join(surviving.select("doc_id").distinct(), "doc_id", "left_anti")
+    )
+    cand_fb = (
+        _shingles_hashed_of(train.join(capped_docs, "doc_id", "semi"))
+        .join(F.broadcast(bsh), "s")
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    cand = (
+        cand_band.withColumn("via_fallback", F.lit(False))
+        .unionByName(cand_fb.withColumn("via_fallback", F.lit(True)))
+        .transform(cut_lineage, eager=False)
     )
     tsh = _shingles_hashed_of(
         train.join(cand.select("doc_id").distinct(), "doc_id", "semi")
     )
-    bsh = _shingles_hashed_of(bench).withColumnRenamed("doc_id", "bench_id")
     sizes_t = tsh.groupBy("doc_id").agg(F.count("*").alias("nt"))
     sizes_b = bsh.groupBy("bench_id").agg(F.count("*").alias("nb"))
     inter = (
         cand.join(tsh, "doc_id")
         .join(F.broadcast(bsh), ["bench_id", "s"])
-        .groupBy("doc_id", "bench_id")
+        .groupBy("doc_id", "bench_id", "via_fallback")
         .agg(F.count("*").alias("n_common"))
     )
     jac = F.col("n_common").cast("double") / (
         F.col("nt") + F.col("nb") - F.col("n_common")
     )
+    # The two routes are doc-disjoint by construction (fallback ⇔
+    # zero surviving bands), so via_fallback is a grouping key, not
+    # an aggregate — one output row per contaminated doc either way.
     return (
         inter.join(sizes_t, "doc_id")
         .join(F.broadcast(sizes_b), "bench_id")
         .withColumn("jac", jac)
         .filter(F.col("jac") >= CONTAM_J)
-        .groupBy("doc_id")
+        .groupBy("doc_id", "via_fallback")
         .agg(
             F.count("*").alias("n_bench_matches"),
             F.max("jac").alias("max_jaccard"),
         )
+        .select("doc_id", "n_bench_matches", "max_jaccard", "via_fallback")
         .orderBy("doc_id")
     )
 
@@ -920,14 +1068,18 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Cap-firing fixture (r12 self-review): at the driver SFs the
-# production cap never fires, so an off-by-one (>= vs >) or a wrong
-# anti-join key would gate green while silently breaking the cap.
-# This fixture makes it fire under the oracle: three identical train
-# docs share every band with bench doc fb1 (bucket df 3 > cap 2 →
-# ALL their buckets hot → dropped despite true Jaccard 1.0), while
-# the d4/d5 pair (df 2 = cap, NOT dropped — pins strict >) survives
-# and reports against fb2.  fd6 matches nothing.
+# Cap-firing fixture (r12 self-review; fallback-aware since r13): at
+# the driver SFs the production cap never fires, so an off-by-one
+# (>= vs >) or a wrong anti-join key would gate green while silently
+# breaking the cap.  This fixture makes it fire under the oracle:
+# three identical train docs share every band with bench doc fb1
+# (bucket df 3 > cap 2 → ALL their buckets hot → fully capped), so
+# they route through the shingle-overlap FALLBACK and report against
+# fb1 with via_fallback=true — the r12-advice recall loss, recovered
+# and audited.  The fd4/fd5 pair (df 2 = cap, NOT hot — pins strict
+# >) survives banding and reports against fb2 with
+# via_fallback=false; a >= regression would flip their flag and
+# hash-mismatch.  fd6 matches nothing.
 CAPFIRE_CAP = 2
 _CAPFIRE_DOCS = [
     ("fb1", CONTAM_BENCH_SOURCE, "alpha beta gamma delta epsilon"),
@@ -957,10 +1109,12 @@ def q_decontaminate_fuzzy_capfire(
 ) -> DataFrame:
     """The hot-band cap actually FIRING under the oracle (see the
     fixture comment above): fd1-fd3's every bucket is hot (df 3 >
-    cap 2) so they vanish despite Jaccard 1.0 vs fb1; fd4/fd5 sit AT
-    the cap (df 2) and survive — the oracle's HAVING > replay hash-
-    pins the strict inequality, the train-side-only census, and the
-    anti-join direction the production gate's data never exercises."""
+    cap 2) so they route through the fully-capped fallback and report
+    vs fb1 with via_fallback=true; fd4/fd5 sit AT the cap (df 2),
+    survive banding, and report vs fb2 with via_fallback=false — the
+    oracle's HAVING > replay hash-pins the strict inequality, the
+    train-side-only census, the anti-join direction, AND the fallback
+    routing the production gate's data never exercises."""
     docs = spark.createDataFrame(
         _CAPFIRE_DOCS, "doc_id string, source string, text string"
     )
@@ -1137,7 +1291,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch and the corpus branch read it instead of re-deriving.
     bands = band_signatures(
         table(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=False)
+    ).transform(cut_lineage, eager=False)
     bands_delta = (
         bands.filter(F.col("doc_id") % 10 == 0)
         .join(F.broadcast(exact_ids), "doc_id", "anti")
@@ -1148,7 +1302,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bands_delta, ["band", "sig"])
         .select("did", F.col("doc_id").alias("cid"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     # Verification shingles are computed ONLY for candidate docs: the
     # candidate id set semi-joins onto the documents scan BEFORE the
@@ -1158,8 +1312,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("cid").alias("doc_id")))
         .distinct()
     )
-    sh = _candidate_shingles(spark, sf_dir, cand_ids).localCheckpoint(
-        eager=False
+    sh = _candidate_shingles(spark, sf_dir, cand_ids).transform(
+        cut_lineage, eager=False
     )
     # SMJ hints: the shingle/size tables are candidate-proportional
     # but statically misestimated as tiny (see jaccard_verify) — an
@@ -1231,7 +1385,7 @@ def _recall_metrics(docs: DataFrame) -> DataFrame:
     because any Jaccard ≥ 0.8 pair must share a shingle); the LSH side
     is the production funnel itself (row-local band signatures, one
     (band, sig) self-join)."""
-    sh_h = _shingles_hashed_of(docs).localCheckpoint(eager=False)
+    sh_h = _shingles_hashed_of(docs).transform(cut_lineage, eager=False)
     sizes = sh_h.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = sh_h.alias("x"), sh_h.alias("y")
     inter = (
@@ -1247,9 +1401,9 @@ def _recall_metrics(docs: DataFrame) -> DataFrame:
     truth = (
         inter.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= 0.8)
         .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
-    bands = band_signatures(docs).localCheckpoint(eager=False)
+    bands = band_signatures(docs).transform(cut_lineage, eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -1260,7 +1414,7 @@ def _recall_metrics(docs: DataFrame) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     hit = truth.join(cand, ["doc_a", "doc_b"], "semi")
     n_true = truth.agg(F.count("*").alias("n_true"))
@@ -1516,7 +1670,7 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         _lsh_candidates(spark, sf_dir)
         .select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     cand_ids = (
         cand.select(F.col("id_a").alias("doc_id"))

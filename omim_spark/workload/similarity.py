@@ -24,6 +24,11 @@ from pathlib import Path
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from omim_spark.operators.checkpoint import (
+    cut_lineage,
+    materialize_before_cleanup,
+)
+
 from .registry import register, table
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
@@ -291,7 +296,7 @@ def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_all = (
         _shingles(spark, sf_dir)
         .select("doc_id", F.xxhash64("s").alias("s"))
-        .localCheckpoint(eager=False)
+        .transform(cut_lineage, eager=False)
     )
     hot = (
         sh_all.groupBy("s")
@@ -671,7 +676,7 @@ def q_ann_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.desc("cosine"), "vec_id")
             .limit(10)
-            .localCheckpoint(eager=True)
+            .transform(materialize_before_cleanup)
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)

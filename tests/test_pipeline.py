@@ -238,6 +238,42 @@ class TestDeterministicTtl:
         # cleaned next to the output)
         assert not (tmp_path / "big.ttl.shards").exists()
 
+    def test_ttl_writer_conf_tiers(self, spark, omim_data_dir, tmp_path):
+        # spark.omim.ttl.writer (r12 verdict #5): one conf flips the
+        # sink tier — driver / sharded forced paths are byte-identical
+        # to auto; sharded_keep skips the driver concat entirely
+        # (header file + manifest shards only); invalid modes fail
+        # loudly.
+        import pytest
+
+        from omim_spark.io.writers import TTL_WRITER_CONF
+
+        r = build_graph(spark, omim_data_dir, version_date="2026-01-01")
+        auto = tmp_path / "auto.ttl"
+        write_ttl(r.triples, str(auto))
+        try:
+            for mode in ("driver", "sharded"):
+                spark.conf.set(TTL_WRITER_CONF, mode)
+                out = tmp_path / f"{mode}.ttl"
+                write_ttl(r.triples, str(out))
+                assert out.read_bytes() == auto.read_bytes(), mode
+            spark.conf.set(TTL_WRITER_CONF, "sharded_keep")
+            kept = tmp_path / "kept.ttl"
+            write_ttl(r.triples, str(kept))
+            manifest = tmp_path / "kept.ttl.shards" / "manifest.txt"
+            assert manifest.exists()
+            parts = manifest.read_text().strip().split("\n")
+            body = b"".join(
+                (tmp_path / "kept.ttl.shards" / p).read_bytes()
+                for p in parts
+            )
+            assert kept.read_bytes() + body == auto.read_bytes()
+            spark.conf.set(TTL_WRITER_CONF, "bogus")
+            with pytest.raises(ValueError, match=TTL_WRITER_CONF):
+                write_ttl(r.triples, str(tmp_path / "bogus.ttl"))
+        finally:
+            spark.conf.unset(TTL_WRITER_CONF)
+
     def test_sharded_writer_manifest_mode(self, spark, omim_data_dir, tmp_path):
         from omim_spark.io.writers import write_ttl_sharded
 

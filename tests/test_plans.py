@@ -71,4 +71,6 @@ def test_plan_sweep_no_flags_on_synthesized_corpus(spark, tmp_path_factory):
         # r12: the cap-firing fixture gate — 8 inline docs, broadcast
         # sides bounded by construction like the other fixture dims
         "q_decontaminate_fuzzy_capfire",
+        # r13: the hot-shingle capfire sibling — 6 inline docs
+        "q_dedup_lsh_capfire",
     }, unknown

@@ -705,6 +705,8 @@ MEASURED_AUDITS: dict[str, dict] = {
     'q_decontaminate_fuzzy': {'min_bhj': 3, 'max_scan_cols': {'documents': 3},
                               'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin',
                                          'BatchEvalPython', 'ArrowEvalPython', 'MapInPandas']},
+    'q_dedup_lsh_capfire': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin',
+                                       'BatchEvalPython', 'ArrowEvalPython', 'MapInPandas']},
     'q_ann_ivf_stored': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
     'q_linear_fit': {'max_scan_cols': {'events': 3}, 'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
     'q_perplexity_filter': {'forbid': ['CartesianProduct', 'BroadcastNestedLoopJoin']},
