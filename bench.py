@@ -90,10 +90,19 @@ def emit_line(payload: dict) -> str:
             return d
         if d.get("calibration", {}).pop("before_attempts", None) is not None:
             return d
-        for v in d.get("pipeline", {}).values():
-            if isinstance(v.get("error"), str) and len(v["error"]) > 80:
+        # ONE rung truncates EVERY long pipeline error: a per-error
+        # rung starved the fixed iteration budget when many tiers
+        # errored, skipping the deeper rungs even where truncation
+        # alone would have fit the line.
+        long_errs = [
+            v
+            for v in d.get("pipeline", {}).values()
+            if isinstance(v.get("error"), str) and len(v["error"]) > 80
+        ]
+        if long_errs:
+            for v in long_errs:
                 v["error"] = v["error"][:80]
-                return d
+            return d
         if "calibration" in d:
             del d["calibration"]
             return d
@@ -102,6 +111,10 @@ def emit_line(payload: dict) -> str:
             return d
         return d
 
+    # Degrade a deep copy: the ladder mutates blocks in place, and a
+    # caller inspecting its payload afterwards must see what it built,
+    # not what the cap forced the LINE to drop.
+    payload = json.loads(json.dumps(payload))
     line = json.dumps(payload, separators=(",", ":"))
     for _ in range(6):
         if len(line) <= LINE_CAP:

@@ -59,15 +59,12 @@ def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
         # probe (r12 advice: a bare except also swallowed genuine
         # py4j/driver failures, degrading this fail-fast into a later,
         # less clear df.checkpoint() error) — anything else propagates.
-        try:
-            from pyspark.errors import PySparkNotImplementedError
-
-            _connect_errs: tuple = (AttributeError, PySparkNotImplementedError)
-        except ImportError:  # pragma: no cover - pyspark<3.4
-            _connect_errs = (AttributeError,)
+        # NotImplementedError covers every pyspark vintage: modern
+        # Connect raises PySparkNotImplementedError (a subclass), 3.4
+        # raised it plain.
         try:
             sc = df.sparkSession.sparkContext
-        except _connect_errs:
+        except (AttributeError, NotImplementedError):
             sc = None
         if sc is not None and sc.getCheckpointDir() is None:
             raise ValueError(

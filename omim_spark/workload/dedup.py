@@ -46,15 +46,23 @@ N_BANDS = 4
 MAX_DF = 20  # hot-shingle document-frequency cap (production funnel)
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) — exploded distinct shingles; docs with <3 tokens
-    are excluded (mirrored in every oracle)."""
-    docs = table(spark, sf_dir, "documents")
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, s: string) — exploded distinct shingles of any
+    (doc_id, text) DataFrame; docs with <3 tokens are excluded
+    (mirrored in every oracle).  THE single definition of the
+    string-shingle pipeline — the corpus variant and the capped-funnel
+    core both delegate here (the hashed twin is
+    :func:`_shingles_hashed_of`)."""
     return (
         docs.withColumn("tk", F.split("text", " "))
         .filter(F.size("tk") >= 3)
         .select("doc_id", F.explode(F.expr(SHINGLE_SPARK)).alias("s"))
     )
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) — :func:`_shingles_of` over the documents table."""
+    return _shingles_of(table(spark, sf_dir, "documents"))
 
 
 # 64-bit-hashed shingles computed INSIDE the array transform, so only
@@ -727,12 +735,7 @@ def lsh_capped_pairs(docs: DataFrame, max_df: int) -> DataFrame:
     tiers see the same capped shingle set — capping only the signature
     tier would report pre-cap Jaccards the candidate generation never
     saw)."""
-    sh = (
-        docs.withColumn("tk", F.split("text", " "))
-        .filter(F.size("tk") >= 3)
-        .select("doc_id", F.explode(F.expr(SHINGLE_SPARK)).alias("s"))
-        .transform(cut_lineage, eager=False)
-    )
+    sh = _shingles_of(docs).transform(cut_lineage, eager=False)
     hot = (
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
@@ -883,27 +886,37 @@ def _fuzzy_decon_oracle(docs_table: str, cap: int) -> str:
         WHERE h.band = t.band AND h.sig = t.sig
       )
     ),
+    benchb AS (
+      SELECT b.doc_id, b.band, b.sig
+      FROM bands b
+      JOIN src sb ON b.doc_id = sb.doc_id
+                 AND sb.source = '{CONTAM_BENCH_SOURCE}'
+    ),
     cand_band AS (
       SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id,
              FALSE AS via_fallback
       FROM survband t
-      JOIN bands b ON t.band = b.band AND t.sig = b.sig
-      JOIN src sb ON b.doc_id = sb.doc_id
-                 AND sb.source = '{CONTAM_BENCH_SOURCE}'
+      JOIN benchb b ON t.band = b.band AND t.sig = b.sig
     ),
     capped AS (
       SELECT DISTINCT doc_id FROM tb
       EXCEPT
       SELECT DISTINCT doc_id FROM survband
     ),
+    benchhot AS (
+      SELECT band, sig FROM benchb
+      GROUP BY band, sig HAVING COUNT(*) > {cap}
+    ),
     cand_fb AS (
-      SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS bench_id,
+      SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id,
              TRUE AS via_fallback
-      FROM sh x
-      JOIN capped c ON x.doc_id = c.doc_id
-      JOIN sh y ON y.s = x.s
-      JOIN src sb ON y.doc_id = sb.doc_id
-                 AND sb.source = '{CONTAM_BENCH_SOURCE}'
+      FROM tb t
+      JOIN capped c ON t.doc_id = c.doc_id
+      JOIN benchb b ON t.band = b.band AND t.sig = b.sig
+      WHERE NOT EXISTS (
+        SELECT 1 FROM benchhot h
+        WHERE h.band = t.band AND h.sig = t.sig
+      )
     ),
     cand AS (
       SELECT * FROM cand_band UNION ALL SELECT * FROM cand_fb
@@ -951,15 +964,27 @@ def fuzzy_decontaminate(docs: DataFrame, cap: int) -> DataFrame:
     FULLY-capped docs (r12 advice): a doc whose EVERY band bucket is
     hot — >cap near-identical paraphrased copies of a leaked eval
     passage, exactly the boilerplate the cap targets — would escape
-    banding entirely.  Those docs route to a direct shingle-overlap
-    fallback against the benchmark instead: their shingles equi-join
-    the broadcast bench shingle table, and every pair sharing a
-    shingle goes through the SAME true-Jaccard verification.  The
-    fallback has STRICTLY better recall than banding (banding needs a
-    full band collision; the fallback needs one shared shingle), so
-    the cap no longer loses contaminated docs — and the output's
-    ``via_fallback`` column makes the cap's routing auditable
-    (pinned fire-path by q_decontaminate_fuzzy_capfire).
+    banding entirely.  Those docs get a BANDED fallback: their (all
+    hot) bands rejoin the bench bands ignoring the TRAIN-side cap,
+    guarded by a BENCH-side df cap instead — a leaked passage has
+    >cap train copies but few bench copies (an eval suite is deduped
+    by construction), so its bucket passes the guard and every train
+    copy is verified and reported; a bucket degenerate on BOTH sides
+    (boilerplate signature shared by thousands of train docs AND
+    many bench docs) stays excluded, because joining it is the
+    quadratic blowup the cap exists to prevent.  The output's
+    ``via_fallback`` column makes the routing auditable (fire path +
+    both guards pinned by q_decontaminate_fuzzy_capfire).
+
+    An earlier r13 draft used a shingle-overlap fallback (any shared
+    3-gram → candidate pair) — REJECTED by the 100× probe: natural-
+    language corpora share common trigrams ubiquitously, so the
+    fallback's candidate set degenerated toward |capped| × |bench|
+    and the probe that finished in ~122 s under r12 semantics OOM-
+    crawled past 58 min.  The banded fallback keeps candidate
+    generation selective (a full 2-minhash band collision), adds
+    ~nothing when hot buckets are train-internal boilerplate, and
+    still catches every >cap-copies leak.
 
     Scale: the benchmark suite is small BY CONSTRUCTION (an eval
     set, not a crawl) — the explicit broadcasts (bench bands, bench
@@ -968,13 +993,18 @@ def fuzzy_decontaminate(docs: DataFrame, cap: int) -> DataFrame:
     proportional candidate-id broadcast that SCALING.md's 100×
     probe vetoed; the train corpus never shuffles its full shingle
     table (only candidate docs explode), so cost tracks
-    |candidates|, not |corpus|.  The fallback's worst case (every
-    train doc fully capped) degenerates to the exact-decon tier's
-    shape — one map-side pass of the corpus shingles against a
-    broadcast bench structure — which SCALING.md already budgets."""
+    |candidates|, not |corpus|.  Fallback candidate bound: per hot
+    bucket, df_train(bucket) × min(df_bench(bucket), cap) pairs —
+    linear in the capped population."""
     bench = docs.filter(F.col("source") == CONTAM_BENCH_SOURCE)
     train = docs.filter(F.col("source") != CONTAM_BENCH_SOURCE)
-    bench_bands = band_signatures(bench).withColumnRenamed("doc_id", "bench_id")
+    # Three consumers (band-route join, bench-hot census, fallback
+    # join) — cut so the bench signatures compute once.
+    bench_bands = (
+        band_signatures(bench)
+        .withColumnRenamed("doc_id", "bench_id")
+        .transform(cut_lineage, eager=False)
+    )
     # tb feeds the hot-bucket census, the candidate join AND the
     # fully-capped census — checkpoint the narrow (doc_id, band, sig)
     # table so the minhash signature computation runs once (same
@@ -993,8 +1023,8 @@ def fuzzy_decontaminate(docs: DataFrame, cap: int) -> DataFrame:
         .select("doc_id", "bench_id")
         .distinct()
     )
-    # Bench shingles serve the fallback candidate join AND the
-    # verification join — one compute, broadcast both times.
+    # Bench shingles serve the verification join AND its size table —
+    # one compute, broadcast both times.
     bsh = (
         _shingles_hashed_of(bench)
         .withColumnRenamed("doc_id", "bench_id")
@@ -1008,9 +1038,20 @@ def fuzzy_decontaminate(docs: DataFrame, cap: int) -> DataFrame:
         .distinct()
         .join(surviving.select("doc_id").distinct(), "doc_id", "left_anti")
     )
+    # Banded fallback: the fully-capped docs' bands rejoin the bench
+    # bands WITHOUT the train-side hot filter, guarded by the
+    # bench-side df cap (bench buckets > cap are degenerate on both
+    # sides — excluded; see docstring).
+    bench_hot = (
+        bench_bands.groupBy("band", "sig")
+        .agg(F.count("*").alias("bdf"))
+        .filter(F.col("bdf") > cap)
+        .select("band", "sig")
+    )
     cand_fb = (
-        _shingles_hashed_of(train.join(capped_docs, "doc_id", "semi"))
-        .join(F.broadcast(bsh), "s")
+        tb.join(capped_docs, "doc_id", "semi")
+        .join(F.broadcast(bench_hot), ["band", "sig"], "left_anti")
+        .join(F.broadcast(bench_bands), ["band", "sig"])
         .select("doc_id", "bench_id")
         .distinct()
     )
@@ -1019,6 +1060,8 @@ def fuzzy_decontaminate(docs: DataFrame, cap: int) -> DataFrame:
         .unionByName(cand_fb.withColumn("via_fallback", F.lit(True)))
         .transform(cut_lineage, eager=False)
     )
+    # Verification shingles for BOTH routes: semi-join-before-explode
+    # over the union's candidate ids (routes are doc-disjoint).
     tsh = _shingles_hashed_of(
         train.join(cand.select("doc_id").distinct(), "doc_id", "semi")
     )
@@ -1072,24 +1115,36 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the driver SFs the production cap never fires, so an off-by-one
 # (>= vs >) or a wrong anti-join key would gate green while silently
 # breaking the cap.  This fixture makes it fire under the oracle:
-# three identical train docs share every band with bench doc fb1
-# (bucket df 3 > cap 2 → ALL their buckets hot → fully capped), so
-# they route through the shingle-overlap FALLBACK and report against
-# fb1 with via_fallback=true — the r12-advice recall loss, recovered
-# and audited.  The fd4/fd5 pair (df 2 = cap, NOT hot — pins strict
-# >) survives banding and reports against fb2 with
-# via_fallback=false; a >= regression would flip their flag and
-# hash-mismatch.  fd6 matches nothing.
+# - fd1-fd3 (identical) share every band with bench doc fb1; their
+#   buckets have train df 3 > cap 2 → ALL hot → fully capped → the
+#   BANDED FALLBACK rejoins them to fb1 (bench df 1 ≤ cap) and they
+#   report with via_fallback=true — the r12-advice recall loss,
+#   recovered and audited.
+# - fd4/fd5 (df 2 = cap, NOT hot — pins strict >) survive banding
+#   and report against fb2 with via_fallback=false; a >= regression
+#   flips their flag and hash-mismatches.
+# - fe1-fe3 (identical) band with the ALSO-identical bench trio
+#   fb3a-fb3c: train df 3 > cap AND bench df 3 > cap → fully capped
+#   AND excluded by the fallback's bench-side guard → absent from
+#   the output despite Jaccard 1.0 — pins that a both-sides-degenerate
+#   bucket stays out (the quadratic-blowup guard).
+# - fd6 matches nothing.
 CAPFIRE_CAP = 2
 _CAPFIRE_DOCS = [
     ("fb1", CONTAM_BENCH_SOURCE, "alpha beta gamma delta epsilon"),
     ("fb2", CONTAM_BENCH_SOURCE, "zeta eta theta iota kappa"),
+    ("fb3a", CONTAM_BENCH_SOURCE, "rho sigma tau upsilon phi"),
+    ("fb3b", CONTAM_BENCH_SOURCE, "rho sigma tau upsilon phi"),
+    ("fb3c", CONTAM_BENCH_SOURCE, "rho sigma tau upsilon phi"),
     ("fd1", "srcA", "alpha beta gamma delta epsilon"),
     ("fd2", "srcA", "alpha beta gamma delta epsilon"),
     ("fd3", "srcB", "alpha beta gamma delta epsilon"),
     ("fd4", "srcA", "zeta eta theta iota kappa"),
     ("fd5", "srcB", "zeta eta theta iota kappa"),
     ("fd6", "srcA", "lambda mu nu xi omicron"),
+    ("fe1", "srcA", "rho sigma tau upsilon phi"),
+    ("fe2", "srcB", "rho sigma tau upsilon phi"),
+    ("fe3", "srcA", "rho sigma tau upsilon phi"),
 ]
 _CAPFIRE_VALUES = ", ".join(
     f"('{d}', '{s}', '{t}')" for d, s, t in _CAPFIRE_DOCS
@@ -1109,12 +1164,15 @@ def q_decontaminate_fuzzy_capfire(
 ) -> DataFrame:
     """The hot-band cap actually FIRING under the oracle (see the
     fixture comment above): fd1-fd3's every bucket is hot (df 3 >
-    cap 2) so they route through the fully-capped fallback and report
-    vs fb1 with via_fallback=true; fd4/fd5 sit AT the cap (df 2),
-    survive banding, and report vs fb2 with via_fallback=false — the
-    oracle's HAVING > replay hash-pins the strict inequality, the
-    train-side-only census, the anti-join direction, AND the fallback
-    routing the production gate's data never exercises."""
+    cap 2) so they route through the banded fallback and report vs
+    fb1 with via_fallback=true; fd4/fd5 sit AT the cap (df 2),
+    survive banding, and report vs fb2 with via_fallback=false;
+    fe1-fe3 are fully capped but their only bench buckets are ALSO
+    over the bench-side guard (fb3a-fb3c, df 3 > cap) so they stay
+    absent — the oracle's HAVING > replays hash-pin the strict
+    inequality on BOTH censuses, the train-side-only hot census, the
+    anti-join directions, and the fallback routing the production
+    gate's data never exercises."""
     docs = spark.createDataFrame(
         _CAPFIRE_DOCS, "doc_id string, source string, text string"
     )

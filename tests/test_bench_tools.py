@@ -176,6 +176,43 @@ def test_emit_line_never_exceeds_cap():
     assert parsed["value"] == 2.0
 
 
+def test_emit_line_many_errors_keep_pipeline_floor():
+    # Self-review regression (r13): many errored tiers must not starve
+    # the ladder into the minimal envelope when truncating the error
+    # strings alone fits the line — the valid regression floor has to
+    # survive in the pipeline block.
+    sys.path.insert(0, str(REPO))
+    try:
+        from bench import LINE_CAP, emit_line
+    finally:
+        sys.path.pop(0)
+    pipeline = {f"tier_{i}": {"error": "x" * 300} for i in range(12)}
+    pipeline["pipeline_build_2000x"] = {"min": 19.31, "regime": "fresh_jvm"}
+    p = _payload(pipeline=pipeline)
+    line = emit_line(p)
+    assert len(line) <= LINE_CAP
+    parsed = json.loads(line)
+    assert parsed.get("over_cap") is None
+    assert parsed["pipeline"]["pipeline_build_2000x"]["min"] == 19.31
+    assert all(
+        len(v.get("error", "")) <= 80 for v in parsed["pipeline"].values()
+    )
+
+
+def test_emit_line_does_not_mutate_caller_payload():
+    sys.path.insert(0, str(REPO))
+    try:
+        from bench import emit_line
+    finally:
+        sys.path.pop(0)
+    p = _payload(
+        pipeline={f"tier_{i}": {"error": "x" * 400} for i in range(30)}
+    )
+    snapshot = json.loads(json.dumps(p))
+    emit_line(p)
+    assert p == snapshot
+
+
 def test_pipeline_same_regime_still_gated(tmp_path, monkeypatch, capsys):
     old = _write(
         tmp_path,
