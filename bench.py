@@ -279,6 +279,12 @@ def main() -> None:
     # the JVM's own state — and the emitted JSON carries per-query
     # mean/stddev so a regression can be told from noise.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    # Mid-run canary (r13): the edge probes above can read AT floor
+    # while hypervisor-level bursts steal whole windows INSIDE the
+    # timed region (BENCH_HISTORY r13 forensics) — sample during it.
+    from tools.noise_sentinel import NoiseSentinel
+
+    sentinel = NoiseSentinel().start()
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
     for name, fn in headline.items():
@@ -363,6 +369,7 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             pipeline[key] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    noise = sentinel.stop()
     calib_after = _calibrate()
     load_after = os.getloadavg()
     # The external driver records only the LAST 2000 chars of stdout:
@@ -379,6 +386,9 @@ def main() -> None:
         "after": calib_after,
         "floors": {"cpu": cpu_floor, "shuffle": shuffle_floor},
         "gave_up_contended": gave_up_contended,
+        # In-region canary (covers the query loop AND the pipeline
+        # subprocess window; see tools/noise_sentinel.py).
+        "noise": noise,
         "settle_waits_s": settle_waits,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],

@@ -237,3 +237,54 @@ def test_pipeline_same_regime_still_gated(tmp_path, monkeypatch, capsys):
     rc, out = _run(monkeypatch, capsys, [old, new])
     assert rc == 1
     assert "pipeline_build_2000x" in out
+
+
+# ---------------------------------------------------------------------------
+# r13: in-region noise canary + adaptive pipeline re-runs
+# ---------------------------------------------------------------------------
+
+
+def test_noise_summarize_clean_and_bursty():
+    sys.path.insert(0, str(REPO))
+    try:
+        from tools.noise_sentinel import summarize
+    finally:
+        sys.path.pop(0)
+    assert summarize([]) == {"n": 0, "slow3x": 0, "worst": 0.0}
+    clean = summarize([0.020, 0.021, 0.020, 0.022])
+    assert clean["n"] == 4 and clean["slow3x"] == 0 and clean["worst"] < 1.2
+    # one stolen window stretches two overlapped samples 5x/9x
+    bursty = summarize([0.020, 0.100, 0.180, 0.021])
+    assert bursty["slow3x"] == 2
+    assert bursty["worst"] == 9.0
+
+
+def test_noise_sentinel_runs_and_stops():
+    sys.path.insert(0, str(REPO))
+    try:
+        from tools.noise_sentinel import NoiseSentinel
+    finally:
+        sys.path.pop(0)
+    import time as _time
+
+    s = NoiseSentinel(period=0.05).start()
+    _time.sleep(0.4)
+    out = s.stop()
+    assert out["n"] >= 2
+    assert out["slow3x"] <= out["n"]
+
+
+def test_needs_extra_run_decision():
+    sys.path.insert(0, str(REPO))
+    try:
+        from tools.pipeline_bench import needs_extra_run
+    finally:
+        sys.path.pop(0)
+    # healthy spread: within 10% — no extra
+    assert not needs_extra_run([20.0, 21.0, 20.5])
+    # one 2.5x burst run drags the mean past 1.2x min — re-run
+    assert needs_extra_run([20.0, 50.0, 21.0])
+    # all-slow (uniformly slower box, consistent): no extra — the min
+    # is as good as this host gets
+    assert not needs_extra_run([45.0, 46.0, 47.0])
+    assert not needs_extra_run([])

@@ -16,6 +16,9 @@ Prints ONE JSON line — the bench artifact's "pipeline" object:
 Env (same knobs bench.py always honored):
   SPARK_GRAFT_PIPELINE_REPLICAS  fixture replicas (default 2000)
   SPARK_GRAFT_PIPELINE_RUNS      timed builds, min reported (default 3)
+  SPARK_GRAFT_PIPELINE_EXTRA     extra builds allowed when the base
+                                 runs disagree (default 2; see
+                                 needs_extra_run)
 
 MEASUREMENT NOTE (r12): isolation changes what the number measures.
 The old inline tier inherited a JVM with ~10 minutes of prior Spark
@@ -40,6 +43,19 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def needs_extra_run(walls: list[float], ratio: float = 1.2) -> bool:
+    """True when the measured builds disagree enough that the min is
+    probably still contaminated: mean > ``ratio`` × min.  On a healthy
+    host identical builds land within ~10% of each other (mean/min
+    < 1.1); the r13 box showed hypervisor bursts stretching individual
+    builds 2-5x, where min-of-3 has a (bad_fraction)^3 chance of
+    reporting a stretched floor.  Each extra run multiplies in another
+    chance at a clean window; bounded by SPARK_GRAFT_PIPELINE_EXTRA.
+    A uniformly-slow-but-consistent host does NOT trigger extras —
+    its min is as good as that host gets."""
+    return len(walls) > 0 and (sum(walls) / len(walls)) > ratio * min(walls)
+
+
 def main() -> None:
     from omim_spark.session import get_spark
     from tools.pipeline_scale_probe import run_build, synthesize
@@ -60,15 +76,24 @@ def main() -> None:
         # ladder only plateaus after a complete build (see module
         # docstring).  One untimed full build, then steady-state runs.
         run_build(spark, str(scratch / "data"), str(scratch / "warm.ttl"))
+        from tools.noise_sentinel import NoiseSentinel
+
+        sentinel = NoiseSentinel().start()
         walls: list[float] = []
         writes: list[float] = []
         n_triples = 0
-        for i in range(p_runs):
+        extra = max(0, int(os.environ.get("SPARK_GRAFT_PIPELINE_EXTRA", "2")))
+        i = 0
+        while i < p_runs or (extra > 0 and needs_extra_run(walls)):
+            if i >= p_runs:
+                extra -= 1
             wall, n_triples, ws = run_build(
                 spark, str(scratch / "data"), str(scratch / f"out{i}.ttl")
             )
             walls.append(wall)
             writes.append(ws)
+            i += 1
+        noise = sentinel.stop()
         print(
             json.dumps(
                 {
@@ -76,7 +101,13 @@ def main() -> None:
                         "min": round(min(walls), 3),
                         "mean": round(sum(walls) / len(walls), 3),
                         "write_min": round(min(writes), 3),
-                        "n": p_runs,
+                        "n": len(walls),
+                        # Per-run walls: a contaminated min is visible
+                        # from the artifact (r13 box forensics), and
+                        # the in-region canary says whether the host
+                        # stole time while they ran.
+                        "w": [round(x, 1) for x in walls],
+                        "noise": noise,
                         "triples": n_triples,
                         # Measurement-regime marker (r12 advice): r9-r11
                         # pipeline floors were inline hot-JVM numbers;
