@@ -288,3 +288,22 @@ def test_needs_extra_run_decision():
     # is as good as this host gets
     assert not needs_extra_run([45.0, 46.0, 47.0])
     assert not needs_extra_run([])
+
+
+def test_compare_notes_noisy_side(tmp_path, monkeypatch, capsys):
+    noisy = {
+        **_OK_PAYLOAD,
+        "calibration": {
+            **_OK_PAYLOAD.get("calibration", {}),
+            "noise": {"n": 189, "slow3x": 15, "worst": 51.7},
+        },
+    }
+    old = _write(tmp_path, "old.json", _OK_PAYLOAD)
+    new = _write(tmp_path, "new.json", noisy)
+    rc, out = _run(monkeypatch, capsys, [old, new])
+    assert "15/189" in out and "51.7" in out
+    # clean artifacts print no canary note
+    old2 = _write(tmp_path, "old2.json", _OK_PAYLOAD)
+    new2 = _write(tmp_path, "new2.json", _OK_PAYLOAD)
+    rc2, out2 = _run(monkeypatch, capsys, [old2, new2])
+    assert "canary" not in out2

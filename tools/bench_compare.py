@@ -108,6 +108,21 @@ def main() -> int:
     bar = float(sys.argv[3]) if len(sys.argv) > 3 else 25.0
     oq, nq = old.get("queries", {}), new.get("queries", {})
 
+    # In-region canary (r13): the edge probes below normalize steady
+    # contention, but the canary is the only artifact evidence of
+    # BURSTY mid-region theft (BENCH_HISTORY r13 forensics) — surface
+    # it before the per-query table so a stretched side is read as
+    # host noise, not a plan regression.
+    for side, d in (("old", old), ("new", new)):
+        nz = (d.get("calibration") or {}).get("noise") or {}
+        if nz.get("slow3x", 0) > 0:
+            print(
+                f"NOTE: {side} artifact's in-region canary caught "
+                f"{nz['slow3x']}/{nz['n']} samples stretched >3x "
+                f"(worst {nz['worst']}x) — that side crossed stolen "
+                "scheduling windows; treat its regressions as suspect"
+            )
+
     oc, nc = _calib_mins(old), _calib_mins(new)
     ratios: dict[str, float] = {
         probe: nc[probe] / oc[probe]
