@@ -78,7 +78,9 @@ def emit_line(payload: dict) -> str:
 
     Ladder, least headline-relevant first: drop the per-query spread
     (mins are the headline), the retry-probe list, long pipeline error
-    strings, then whole optional blocks (calibration, pipeline).  If
+    strings, then the calibration block in two steps (first compressed
+    to the ~40 B noise canary, then dropped) and finally the pipeline
+    block.  If
     the ladder exhausts with the line still over the cap (r12 advice:
     e.g. a grown queries map), the terminal fallback is a minimal
     envelope — metric/value/queries/sf + an ``over_cap`` flag — and,
@@ -102,6 +104,16 @@ def emit_line(payload: dict) -> str:
         if long_errs:
             for v in long_errs:
                 v["error"] = v["error"][:80]
+            return d
+        # Compress calibration to the canary alone before dropping it:
+        # the noise dict (~40 B) is the only artifact evidence of
+        # bursty mid-region theft, needed MOST in exactly the degraded
+        # draws that reach this rung (r13 review).
+        calib = d.get("calibration")
+        if isinstance(calib, dict) and set(calib) - {"noise"}:
+            d["calibration"] = (
+                {"noise": calib["noise"]} if "noise" in calib else {}
+            )
             return d
         if "calibration" in d:
             del d["calibration"]

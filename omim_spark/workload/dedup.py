@@ -984,7 +984,10 @@ def fuzzy_decontaminate(docs: DataFrame, cap: int) -> DataFrame:
     crawled past 58 min.  The banded fallback keeps candidate
     generation selective (a full 2-minhash band collision), adds
     ~nothing when hot buckets are train-internal boilerplate, and
-    still catches every >cap-copies leak.
+    gives fully-capped docs the SAME banded recall as the main route
+    — not perfect recall: a paraphrase near the Jaccard threshold can
+    miss all band collisions with the usual LSH miss probability
+    ((1-s^r)^b), exactly as it can on the uncapped path.
 
     Scale: the benchmark suite is small BY CONSTRUCTION (an eval
     set, not a crawl) — the explicit broadcasts (bench bands, bench

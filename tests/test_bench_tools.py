@@ -268,7 +268,12 @@ def test_noise_sentinel_runs_and_stops():
     import time as _time
 
     s = NoiseSentinel(period=0.05).start()
-    _time.sleep(0.4)
+    # Wait for samples by watching the list, not a fixed sleep: on a
+    # bursty host (the exact condition the sentinel exists for) a
+    # fixed 0.4 s can elapse inside the FIRST stretched burn.
+    deadline = _time.time() + 10.0
+    while len(s.samples) < 2 and _time.time() < deadline:
+        _time.sleep(0.05)
     out = s.stop()
     assert out["n"] >= 2
     assert out["slow3x"] <= out["n"]
@@ -307,3 +312,42 @@ def test_compare_notes_noisy_side(tmp_path, monkeypatch, capsys):
     new2 = _write(tmp_path, "new2.json", _OK_PAYLOAD)
     rc2, out2 = _run(monkeypatch, capsys, [old2, new2])
     assert "canary" not in out2
+
+
+def test_emit_line_calibration_compresses_to_noise_before_dropping():
+    sys.path.insert(0, str(REPO))
+    try:
+        from bench import LINE_CAP, emit_line
+    finally:
+        sys.path.pop(0)
+    # A bulky calibration block (retry probes, loadavg history) plus a
+    # spread big enough that the ladder must reach the calibration
+    # rung: the canary must SURVIVE that rung (compressed form), since
+    # degraded draws are exactly where burst attribution matters.
+    noise = {"n": 189, "slow3x": 15, "worst": 51.7}
+    # 110 queries: sized so spread-drop alone leaves the line over the
+    # cap, the compress rung fires, and the compressed form fits —
+    # calibration must survive as exactly {"noise": ...} with the
+    # pipeline floor intact.
+    p = _payload(
+        spread={f"q{i:03d}": {"mean": 1.234, "stddev": 0.567} for i in range(110)},
+        queries={f"q{i:03d}": 1.234 for i in range(110)},
+        calibration={
+            "before": {"cpu": {"min": 0.1, "mean": 0.2}, "shuffle": {"min": 1.0, "mean": 1.1}},
+            "after": {"cpu": {"min": 0.1, "mean": 0.2}, "shuffle": {"min": 1.0, "mean": 1.1}},
+            "floors": {"cpu": 0.131, "shuffle": 0.94},
+            "gave_up_contended": False,
+            "noise": noise,
+            "settle_waits_s": [0.0, 45.2, 45.1],
+            "loadavg_before": [4.05, 10.33, 10.99],
+            "loadavg_after": [12.01, 11.65, 11.28],
+        },
+        pipeline={"pipeline_build_2000x": {"min": 19.3, "regime": "fresh_jvm"}},
+    )
+    line = emit_line(p)
+    assert len(line) <= LINE_CAP
+    parsed = json.loads(line)
+    assert parsed["spread"] == {"dropped": f"line>{LINE_CAP}B"}
+    assert parsed["calibration"] == {"noise": noise}
+    assert parsed["pipeline"]["pipeline_build_2000x"]["min"] == 19.3
+    assert parsed.get("over_cap") is None

@@ -116,11 +116,14 @@ def main() -> int:
     for side, d in (("old", old), ("new", new)):
         nz = (d.get("calibration") or {}).get("noise") or {}
         if nz.get("slow3x", 0) > 0:
+            # .get throughout: a partial noise dict (hand-edited or
+            # ladder-trimmed artifact) must not abort the comparison.
             print(
                 f"NOTE: {side} artifact's in-region canary caught "
-                f"{nz['slow3x']}/{nz['n']} samples stretched >3x "
-                f"(worst {nz['worst']}x) — that side crossed stolen "
-                "scheduling windows; treat its regressions as suspect"
+                f"{nz['slow3x']}/{nz.get('n', '?')} samples stretched "
+                f">3x (worst {nz.get('worst', '?')}x) — that side "
+                "crossed stolen scheduling windows; treat its "
+                "regressions as suspect"
             )
 
     oc, nc = _calib_mins(old), _calib_mins(new)
