@@ -13,7 +13,8 @@ so the measured ratio is a lower bound on the insurance premium —
 but it isolates the mechanism cost (write+read+serialize of every
 cut table) from store latency.
 
-Usage: python tools/checkpoint_probe.py [sf_dir] [runs_per_mode]
+Usage: python tools/checkpoint_probe.py [sf_dir] [runs_per_mode] [probe ...]
+  (trailing args select a subset of PROBES; default = all)
 """
 
 from __future__ import annotations
@@ -30,12 +31,17 @@ PROBES = [
     "q_dedup_cluster_survivors", # LSH funnel + CC loop cuts
     "q_label_propagation",       # cut per iteration
     "q_pagerank_steps",          # cut per iteration
+    "q_decontaminate_fuzzy",     # band-table + candidate-union cuts (r13)
 ]
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    selected = sys.argv[3:] or PROBES
+    unknown = set(selected) - set(PROBES)
+    if unknown:
+        raise SystemExit(f"unknown probes: {sorted(unknown)}")
 
     from pyspark.sql import SparkSession
 
@@ -53,7 +59,7 @@ def main() -> int:
     try:
         print(f"sf_dir={sf_dir} runs_per_mode={runs} ckpt_dir={ckpt_dir}")
         results: dict[str, dict[str, float]] = {}
-        for name in PROBES:
+        for name in selected:
             fn = QUERIES[name].fn
             walls: dict[str, list[float]] = {"local": [], "reliable": []}
             # untimed warmup (local mode) to page in the parquet
