@@ -103,6 +103,17 @@ _VERIFY_FIRST = [
     "q_substring_clean_corpus",
     "q_substring_dup_by_source",
     "q_substring_excise",
+    # CHANGED in round 13, optimization pass (OPTIMIZATION_r13.md):
+    # scale-adaptive scan spreading (registry.spread — repartition
+    # after single-row-group scans, a no-op on any layout that
+    # already parallelizes) on q01/q03/sessionize and the two dedup
+    # funnels, plus the jaccard funnel's cut_lineage'd shingle tables
+    # (explode-once, mirroring the LSH funnel).  Results verified
+    # hash-identical at sf0.001/0.01/0.1 against the oracle.
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q_dedup_ngram_jaccard",
+    "q_sessionize",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only

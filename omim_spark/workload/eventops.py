@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import events_table, register, register_bench_only
+from .registry import events_table, register, register_bench_only, spread
 from .relational import dsum, _dsum_sql
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -168,8 +168,13 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on user_id; each user's events sort locally
     within the window — per-user cardinality bounds the sort, and a
     hot user is the skew case AQE handles."""
-    ev = events_table(spark, sf_dir).select(
-        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    ev = spread(
+        events_table(spark, sf_dir).select(
+            "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+        ),
+        sf_dir,
+        "events",
+        "user_id",
     )
     w_lag = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     w_run = (

@@ -10,6 +10,7 @@ hashes values.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -70,6 +71,77 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     caller's session defaults."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Parquet layout metadata cache: path -> number of independently
+# schedulable scan units (row groups across the path's files).  Layout
+# metadata only — never row data — so caching it across calls is a
+# file-listing optimization, not result memoization.
+_SCAN_UNITS: dict[str, int] = {}
+
+
+def scan_units(path: str) -> int:
+    """How many tasks a parquet scan of ``path`` can actually use.
+
+    Spark assigns a parquet ROW GROUP to exactly one task (split
+    boundaries snap to row-group midpoints), so a file's effective
+    scan parallelism is its row-group count no matter how small
+    ``spark.sql.files.maxPartitionBytes`` is.  The driver's test
+    tables are single-file single-row-group — every scan stage runs
+    ONE effective task regardless of core count."""
+    if path not in _SCAN_UNITS:
+        import pyarrow.parquet as pq
+
+        files = []
+        if os.path.isdir(path):
+            for root, _dirs, names in os.walk(path):
+                files.extend(
+                    os.path.join(root, n)
+                    for n in names
+                    if n.endswith(".parquet")
+                )
+        else:
+            files = [path]
+        _SCAN_UNITS[path] = sum(
+            pq.ParquetFile(f).metadata.num_row_groups for f in files
+        )
+    return _SCAN_UNITS[path]
+
+
+def spread(
+    df: DataFrame, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """Scale-adaptive scan parallelization (optimization guide §2.5,
+    the "one huge unsplittable file" fix: repartition right after the
+    read).  When the parquet layout exposes fewer independently
+    schedulable units (row groups) than the session's default
+    parallelism, hash-repartition on a high-cardinality natural key so
+    the CPU-dense work above the scan (decimal aggregation, shingle
+    explodes, md5/xxhash, windows) uses every core instead of the one
+    task the row-group layout allows.  Hash (not round-robin)
+    repartitioning: deterministic under task retry and no
+    sort-before-repartition pass.  Filters still push to the scan —
+    Catalyst moves deterministic predicates below RepartitionByExpression.
+
+    NO-OP at scale: any real multi-file / multi-row-group table (a
+    100 TB fact table has millions of row groups) already parallelizes,
+    so no exchange is added and the plan is unchanged.  The target
+    count derives from ``defaultParallelism``, not a constant, so the
+    driver's lower-core bench runs get proportionally fewer
+    partitions."""
+    spark = df.sparkSession
+    p = spark.sparkContext.defaultParallelism
+    if scan_units(f"{sf_dir}/{name}.parquet") * 2 >= p:
+        return df
+    return df.repartition(p, *keys)
+
+
+def table_spread(
+    spark: SparkSession, sf_dir: str, name: str, *keys: str
+) -> DataFrame:
+    """:func:`table` + :func:`spread` — the scan form for queries whose
+    per-row work above the scan dominates (see spread's docstring)."""
+    return spread(table(spark, sf_dir, name), sf_dir, name, *keys)
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import events_table, register, table
+from .registry import events_table, register, spread, table, table_spread
 
 
 def dsum(col: Column) -> Column:
@@ -60,9 +60,17 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: single scan with the shipdate predicate pushed to parquet,
     map-side partial aggregation on a 6-value grouping key → the
     shuffle moves only |groups|×|aggs| rows.  Whole-stage codegen end
-    to end; no Python in the plan.
+    to end; no Python in the plan.  The scan is spread (r13, guide
+    §2.5): the per-row double→decimal casts dominate this query, and
+    a single-row-group input otherwise serializes them on one task —
+    no-op on any input layout that already parallelizes.
     """
-    li = table(spark, sf_dir, "lineitem")
+    # Spread keys are columns the query reads anyway (price+quantity:
+    # high-cardinality, deterministic) so the repartition does not
+    # widen the 7-column scan.
+    li = table_spread(
+        spark, sf_dir, "lineitem", "l_extendedprice", "l_quantity"
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -158,7 +166,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
     )
-    li = table(spark, sf_dir, "lineitem").filter(
+    li = table_spread(spark, sf_dir, "lineitem", "l_orderkey").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
     )
     return (

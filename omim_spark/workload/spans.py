@@ -32,7 +32,7 @@ from omim_spark.operators.dedup import (
     merged_duplicate_spans,
 )
 
-from .registry import register, table
+from .registry import register, table, table_spread
 
 SPAN_N = 8
 BENCH_SOURCE = "src0"
@@ -147,7 +147,7 @@ def q_substring_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dup_frac ties are real (equal rationals), so doc_id breaks them —
     the limit is deterministic."""
-    docs = table(spark, sf_dir, "documents")
+    docs = table_spread(spark, sf_dir, "documents", "doc_id")
     spans = merged_duplicate_spans(docs, n=SPAN_N, min_docs=2)
     per_doc = spans.groupBy("id").agg(
         F.count("*").alias("n_spans"),

@@ -183,13 +183,14 @@ AUDITS: dict[str, dict] = {
         "forbid": ["CartesianProduct"],
     },
     "q_dedup_ngram_jaccard": {
-        # the hot-shingle df-cap is aggregate + broadcast ANTI join —
-        # map-side-combinable counts, hot list broadcast; never a
-        # count window (which would funnel a hot shingle's every
-        # occurrence through one task) and never a cross product
-        "require": ["LeftAnti"],
-        "min_bhj": 1,
-        "forbid": ["CartesianProduct", "Window"],
+        # r13: the shingle + capped tables are cut_lineage'd (explode
+        # runs once, mirroring the LSH funnel), so the df-cap's
+        # aggregate + anti join now sits INSIDE the checkpointed
+        # subplan — the final plan shows ExistingRDD scans, like
+        # q_dedup_lsh_capped's.  Still never a count window (which
+        # would funnel a hot shingle's every occurrence through one
+        # task) and never a cross product.
+        "forbid": ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"],
         "max_scan_cols": {"documents": 2},
     },
     "q_merge_upsert_delta": {
