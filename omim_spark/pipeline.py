@@ -92,16 +92,31 @@ def build_graph(
     p = lambda name: os.path.join(data_dir, name)  # noqa: E731
 
     # --- Parse sources -----------------------------------------------------
+    # The multiply-consumed parsed bases are materialized ONCE via
+    # cut_lineage (r13 optimization round): the triple emission below
+    # is a ~20-leg union, and every leg that referenced mim_titles /
+    # entries / assocs re-ran the text scan AND the parse projections
+    # per leg — the build's dominant stage re-read mimTitles.txt in
+    # FULL 17 times (event-log task census at 2000 replicas; that one
+    # stage was 526 of 614 executor-seconds).  These tables are
+    # source-proportional metadata (bounded by the OMIM entry count,
+    # never corpus-scale), so materializing them is safe at any SF,
+    # and the cut routes through the same deployment-tiered
+    # cut_lineage as every other operator.
     mim_titles = parse.parse_mim_titles(
         readers.read_mim_titles(spark, p("mimTitles.txt"))
-    )
+    ).transform(cut_lineage, eager=False)
     caps = load_known_capitalizations(spark, p("known_capitalizations.tsv"))
-    entries = transform_entries(mim_titles, caps)
+    entries = transform_entries(mim_titles, caps).transform(
+        cut_lineage, eager=False
+    )
 
     assocs = parse.parse_morbid_map(
         readers.read_morbidmap(spark, p("morbidmap.txt"))
+    ).transform(cut_lineage, eager=False)
+    mim2gene_raw = readers.read_mim2gene(spark, p("mim2gene.txt")).transform(
+        cut_lineage, eager=False
     )
-    mim2gene_raw = readers.read_mim2gene(spark, p("mim2gene.txt"))
     gene_map, pheno_map = parse.parse_mim2gene(mim2gene_raw)
     genemap2 = (
         readers.read_genemap2(spark, p("genemap2.txt"))
