@@ -90,12 +90,16 @@ def _ttl_header() -> str:
 
 
 # Above this many triples, write_ttl (in auto mode) routes through
-# the sharded writer: the row-at-a-time toLocalIterator relay is fine
-# for OMIM's low-millions of triples but becomes the serial bottleneck
-# past that (r10 probe: the driver byte-concat share grew 35% -> 59%
-# from 7.3M -> 73M triples), while executor-written shards + a bulk
-# byte concat stay I/O-bound.
-TTL_SHARDED_THRESHOLD = 2_000_000
+# the sharded writer.  The r13 interleaved crossover measurement
+# (same checkpointed triples, min-of-3 per size, outputs verified
+# byte-identical at every size) put the break-even near 100k rows:
+# driver 0.60 s vs sharded 0.77 s at 50k, driver 1.58 vs sharded
+# 1.27 at 150k, 3.84 vs 2.85 at 400k, and 6.05 vs 0.92 at the
+# pipeline bench's 736k — the toLocalIterator relay is a serial
+# driver loop whose cost is linear in rows (r10 probe: its share
+# grew 35% -> 59% from 7.3M -> 73M triples), while the sharded
+# path's shuffle+concat overhead is a near-constant floor.
+TTL_SHARDED_THRESHOLD = 100_000
 
 # Deployment tier for the TTL sink (r12 verdict #5), mirroring
 # spark.omim.checkpoint.mode: one conf flips the writer instead of

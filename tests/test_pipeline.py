@@ -274,6 +274,47 @@ class TestDeterministicTtl:
         finally:
             spark.conf.unset(TTL_WRITER_CONF)
 
+    def test_auto_threshold_covers_bench_scale(self, spark, tmp_path):
+        # r13 crossover measurement (same checkpointed triples,
+        # min-of-3 interleaved, byte-identical outputs): the driver
+        # toLocalIterator relay wins only below ~100k rows (0.60 s vs
+        # 0.77 s at 50k) and loses from 150k up (1.58 vs 1.27 at
+        # 150k; 6.05 vs 0.92 at the 736k pipeline-bench size).  Pin
+        # that auto mode routes a >threshold synthetic set through
+        # the sharded path, so bench-scale writes never take the
+        # serial driver loop again.
+        import omim_spark.io.writers as W
+
+        n = W.TTL_SHARDED_THRESHOLD + 1
+        assert n <= 150_000, (
+            "threshold raised past the measured 150k crossover point"
+        )
+        triples = (
+            spark.range(n)
+            .selectExpr(
+                "concat('OMIM:', id) as subject",
+                "'rdfs:label' as predicate",
+                "concat('t', id) as object",
+                "'literal' as obj_kind",
+                "cast(null as string) as datatype",
+            )
+        )
+        out = tmp_path / "auto_big.ttl"
+        took_sharded = []
+        orig = W.write_ttl_sharded
+        W.write_ttl_sharded = lambda *a, **k: (
+            took_sharded.append(True),
+            orig(*a, **k),
+        )
+        try:
+            write_ttl(triples, str(out))
+        finally:
+            W.write_ttl_sharded = orig
+        assert took_sharded, "auto mode took the driver path at >threshold"
+        text = out.read_text()
+        assert text.startswith("@prefix")
+        assert text.count("\n") > n  # header + one line per triple
+
     def test_sharded_writer_manifest_mode(self, spark, omim_data_dir, tmp_path):
         from omim_spark.io.writers import write_ttl_sharded
 
