@@ -281,9 +281,26 @@ def build_graph(
     # the lineage — the graph is the natural pipeline breaker here,
     # same role as the reference's serialized omim.ttl between make
     # stages.
+    #
+    # r14: EVERY rewrite layer gets its own cut, not just the ends.
+    # add_flipped_mondo_mappings references its input 3× (union +
+    # filter leg + anti-join leg) and add_hgnc_links 5× (union + four
+    # pattern legs), and because Catalyst pushes each leg's filter
+    # below the layer's distinct, the subtrees are not exchange-
+    # reusable — the event-log census showed five stages re-reading
+    # the 136 MB all_triples checkpoint and re-running the union+
+    # distinct per leg (guide §2.4 shared-subtree recompute).  Each
+    # layer is graph-sized (OMIM-entry-proportional, never corpus-
+    # scale), so materializing it once per layer is scale-safe.
     all_triples = all_triples.transform(cut_lineage, eager=True)
-    merged = T.union_triples(all_triples, sssom_triples).distinct()
-    merged = T.union_triples(merged, add_flipped_mondo_mappings(merged))
+    merged = (
+        T.union_triples(all_triples, sssom_triples)
+        .distinct()
+        .transform(cut_lineage, eager=False)
+    )
+    merged = T.union_triples(
+        merged, add_flipped_mondo_mappings(merged)
+    ).transform(cut_lineage, eager=False)
     merged = T.union_triples(merged, add_hgnc_links(merged)).distinct()
     merged = merged.transform(cut_lineage, eager=True)
 

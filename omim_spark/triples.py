@@ -69,6 +69,28 @@ def bnode_axiom(source: Column, prop: Column, target: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _axiom_triple_cols(
+    source: Column,
+    prop: Column,
+    target: Column,
+    target_kind: str,
+    anno_pred_vals: list[tuple[str, Column, str]],
+) -> list[Column]:
+    """The reification triples of :func:`emit_axiom_annotations` as
+    struct columns, so multi-leg emitters can pack them into ONE
+    array-explode pass over their source instead of a union leg per
+    axiom family (optimization guide §2.4: the build's dominant stage
+    was re-scanning the checkpointed entries table once per leg)."""
+    ax = bnode_axiom(source, prop, target)
+    return [
+        _t(ax, "rdf:type", "owl:Axiom"),
+        _t(ax, "owl:annotatedSource", source),
+        _t(ax, "owl:annotatedProperty", prop),
+        _t(ax, "owl:annotatedTarget", target, target_kind),
+        *[_t(ax, p, v, kind) for p, v, kind in anno_pred_vals],
+    ]
+
+
 def emit_axiom_annotations(
     df: DataFrame,
     source: Column,
@@ -80,15 +102,9 @@ def emit_axiom_annotations(
     """OWL reification (reference add_axiom_annotations main.py:120-134):
     bnode Axiom + annotatedSource/Property/Target + annotation pairs.
     ``anno_pred_vals``: (predicate curie, value column, value kind)."""
-    ax = bnode_axiom(source, prop, target)
-    triples = [
-        _t(ax, "rdf:type", "owl:Axiom"),
-        _t(ax, "owl:annotatedSource", source),
-        _t(ax, "owl:annotatedProperty", prop),
-        _t(ax, "owl:annotatedTarget", target, target_kind),
-    ]
-    triples += [_t(ax, p, v, kind) for p, v, kind in anno_pred_vals]
-    return _emit(df, *triples)
+    return _emit(
+        df, *_axiom_triple_cols(source, prop, target, target_kind, anno_pred_vals)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +127,50 @@ def emit_subclassof_restriction(
     )
 
 
+def _restriction_with_evidence_cols(
+    pred: Column,
+    svf: Column,
+    on: Column,
+    evidence: Column,
+    orcid: Column | None = None,
+) -> list[Column]:
+    """The G4 triple batch as struct columns — restriction + evidence
+    axiom (+ conditional oboInOwl:source) — so one ``_emit`` pass
+    covers what used to be a 3-leg union over the same source
+    (guide §2.4: each union leg re-scans the source per consumer)."""
+    b = bnode_restriction(on, pred, svf)
+    cols = [
+        _t(b, "rdf:type", "owl:Restriction"),
+        _t(b, "owl:onProperty", pred),
+        _t(b, "owl:someValuesFrom", svf),
+        _t(on, "rdfs:subClassOf", b, BNODE),
+        *_axiom_triple_cols(
+            on,
+            F.lit("rdfs:subClassOf"),
+            b,
+            BNODE,
+            [
+                ("biolink:has_evidence", evidence, LIT),
+                ("rdfs:comment", evidence, LIT),
+            ],
+        ),
+    ]
+    if orcid is not None:
+        # WHEN gate instead of a filtered third union leg: a null
+        # orcid yields a null struct, dropped by _emit's null filter.
+        cols.append(
+            F.when(
+                orcid.isNotNull(),
+                _t(
+                    bnode_axiom(on, F.lit("rdfs:subClassOf"), b),
+                    "oboInOwl:source",
+                    orcid,
+                ),
+            )
+        )
+    return cols
+
+
 def emit_restriction_with_evidence(
     df: DataFrame,
     pred: Column,
@@ -120,28 +180,11 @@ def emit_restriction_with_evidence(
     orcid: Column | None = None,
 ) -> DataFrame:
     """G4 (reference main.py:159-174): restriction + evidence axiom
-    (biolink:has_evidence + rdfs:comment, optional oboInOwl:source)."""
-    b = bnode_restriction(on, pred, svf)
-    base = emit_subclassof_restriction(df, pred, svf, on)
-    annos = [
-        ("biolink:has_evidence", evidence, LIT),
-        ("rdfs:comment", evidence, LIT),
-    ]
-    ax = emit_axiom_annotations(
-        df, on, F.lit("rdfs:subClassOf"), b, BNODE, annos
+    (biolink:has_evidence + rdfs:comment, optional oboInOwl:source).
+    One projection pass over ``df`` (was: 3 union legs)."""
+    return _emit(
+        df, *_restriction_with_evidence_cols(pred, svf, on, evidence, orcid)
     )
-    parts = [base, ax]
-    if orcid is not None:
-        ax_src = _emit(
-            df.filter(orcid.isNotNull()),
-            _t(
-                bnode_axiom(on, F.lit("rdfs:subClassOf"), b),
-                "oboInOwl:source",
-                orcid,
-            ),
-        )
-        parts.append(ax_src)
-    return union_triples(*parts)
 
 
 # ---------------------------------------------------------------------------
@@ -152,17 +195,20 @@ def emit_restriction_with_evidence(
 def emit_gene_disease_associations(df: DataFrame) -> DataFrame:
     """Disease –RO:0004003→ gene and gene –RO:0004013→ disease, each
     with an evidence axiom (reference main.py:189-199).  ``df`` needs
-    columns: gene_mim, p_mim, evidence, orcid (nullable)."""
+    columns: gene_mim, p_mim, evidence, orcid (nullable).  Both
+    directions emit in ONE pass over ``df`` (was: 2×3 union legs)."""
     gene = F.concat(F.lit("OMIM:"), F.col("gene_mim"))
     dis = F.concat(F.lit("OMIM:"), F.col("p_mim"))
     orcid = F.col("orcid")
-    d2g = emit_restriction_with_evidence(
-        df, F.lit("RO:0004003"), gene, dis, F.col("evidence"), orcid
+    return _emit(
+        df,
+        *_restriction_with_evidence_cols(
+            F.lit("RO:0004003"), gene, dis, F.col("evidence"), orcid
+        ),
+        *_restriction_with_evidence_cols(
+            F.lit("RO:0004013"), dis, gene, F.col("evidence"), orcid
+        ),
     )
-    g2d = emit_restriction_with_evidence(
-        df, F.lit("RO:0004013"), dis, gene, F.col("evidence"), orcid
-    )
-    return union_triples(d2g, g2d)
 
 
 # ---------------------------------------------------------------------------
@@ -221,8 +267,17 @@ def emit_entry_classes(entries: DataFrame) -> DataFrame:
         F.element_at(F.col("pref_symbols"), 1),
     ).otherwise(F.col("pref_title"))
 
-    core = _emit(
-        entries,
+    # ONE array-explode pass over entries (guide §2.4): the former
+    # shape was an 11-leg union (core, consider, 3 plain synonym
+    # explodes, 6 synonym+axiom legs), and every leg re-scanned the
+    # checkpointed entries table in full — the build's dominant stage.
+    # Each row now packs ALL of its triples (conditional core triples,
+    # per-array-element synonym batches, their reification axioms)
+    # into one array and explodes once.  The emitted multiset is
+    # unchanged: WHEN gates replace leg filters (null struct elements
+    # drop in the null filter), per-element batches replace per-leg
+    # explodes.
+    core = [
         _t(uri, "rdf:type", "owl:Class"),
         F.when(is_obsolete, _t(uri, "owl:deprecated", "true", LIT, "xsd:boolean")),
         # IAO:0100001 = 'term replaced by' (single replacement only)
@@ -262,118 +317,64 @@ def emit_entry_classes(entries: DataFrame) -> DataFrame:
                 LIT,
             ),
         ),
-    )
+    ]
 
-    # 'consider' list for multi-replacement obsoletes
-    consider = (
-        entries.filter(is_obsolete & (n_replaced > 1))
-        .select(uri.alias("s"), F.explode("replaced_by").alias("rep"))
-        .select(
-            F.col("s").alias("subject"),
-            F.lit("oboInOwl:consider").alias("predicate"),
-            F.concat(F.lit("OMIM:"), F.col("rep")).alias("object"),
-            F.lit(URI).alias("obj_kind"),
-            F.lit(None).cast("string").alias("datatype"),
-        )
-    )
+    # 'consider' list for multi-replacement obsoletes (was its own
+    # filtered leg; the WHEN gate reproduces the filter row-wise).
+    consider = F.when(
+        is_obsolete & (n_replaced > 1),
+        F.transform(
+            F.coalesce(F.col("replaced_by"), F.array()),
+            lambda rep: _t(uri, "oboInOwl:consider", F.concat(F.lit("OMIM:"), rep)),
+        ),
+    ).otherwise(F.array())
 
-    live = entries.filter(~suppressed)
+    def _live_arr(col: str) -> Column:
+        # Source array for non-suppressed rows; suppressed rows emit
+        # nothing from it (the old legs filtered on ~suppressed).
+        return F.when(
+            ~suppressed, F.coalesce(F.col(col), F.array())
+        ).otherwise(F.array())
 
-    def _explode_literal(col: str, pred: str) -> DataFrame:
-        return (
-            live.select(uri.alias("s"), F.explode(F.coalesce(F.col(col), F.array())).alias("v"))
-            .select(
-                F.col("s").alias("subject"),
-                F.lit(pred).alias("predicate"),
-                F.col("v").alias("object"),
-                F.lit(LIT).alias("obj_kind"),
-                F.lit(None).cast("string").alias("datatype"),
+    def _plain_syns(col: str, pred: str) -> Column:
+        return F.transform(_live_arr(col), lambda v: _t(uri, pred, v, LIT))
+
+    def _syns_with_axiom(
+        col: str, pred: str, annos: list[tuple[str, Column, str]]
+    ) -> Column:
+        # Per array element: the synonym triple + its reification
+        # axiom batch (what used to be two union legs per column).
+        return F.flatten(
+            F.transform(
+                _live_arr(col),
+                lambda v: F.array(
+                    _t(uri, pred, v, LIT),
+                    *_axiom_triple_cols(uri, F.lit(pred), v, LIT, annos),
+                ),
             )
         )
 
-    alt_syn = _explode_literal("alt_titles", "oboInOwl:hasExactSynonym")
-    included_t = _explode_literal("included_titles", "mondo:omim_included")
-    included_s = _explode_literal("included_symbols", "mondo:omim_included")
-
-    # Abbreviation synonyms carry an OMO:0003000 axiom annotation
-    def _abbrev_syns(col: str) -> DataFrame:
-        base = live.select(
-            uri.alias("s"), F.explode(F.coalesce(F.col(col), F.array())).alias("v")
-        )
-        syn = base.select(
-            F.col("s").alias("subject"),
-            F.lit("oboInOwl:hasExactSynonym").alias("predicate"),
-            F.col("v").alias("object"),
-            F.lit(LIT).alias("obj_kind"),
-            F.lit(None).cast("string").alias("datatype"),
-        )
-        ax = emit_axiom_annotations(
-            base,
-            F.col("s"),
-            F.lit("oboInOwl:hasExactSynonym"),
-            F.col("v"),
-            LIT,
-            [("oboInOwl:hasSynonymType", F.lit("OMO:0003000"), URI)],
-        )
-        return syn.unionByName(ax)
-
-    pref_abbrevs = _abbrev_syns("pref_symbols")
-    alt_abbrevs = _abbrev_syns("alt_symbols")
-
-    # Former (deprecated) titles/symbols → related synonyms w/ axioms
-    def _former(col: str, extra: list[tuple[str, Column, str]]) -> DataFrame:
-        base = live.select(
-            uri.alias("s"), F.explode(F.coalesce(F.col(col), F.array())).alias("v")
-        )
-        syn = base.select(
-            F.col("s").alias("subject"),
-            F.lit("oboInOwl:hasRelatedSynonym").alias("predicate"),
-            F.col("v").alias("object"),
-            F.lit(LIT).alias("obj_kind"),
-            F.lit(None).cast("string").alias("datatype"),
-        )
-        ax = emit_axiom_annotations(
-            base,
-            F.col("s"),
-            F.lit("oboInOwl:hasRelatedSynonym"),
-            F.col("v"),
-            LIT,
-            [("owl:deprecated", F.lit("true"), LIT)] + extra,
-        )
-        return syn.unionByName(ax)
-
-    former_titles = _former("former_alt_titles", [])
-    former_syms = _former(
-        "former_alt_symbols", [("oboInOwl:hasSynonymType", F.lit("OMO:0003000"), URI)]
+    _omo = [("oboInOwl:hasSynonymType", F.lit("OMO:0003000"), URI)]
+    _dep = [("owl:deprecated", F.lit("true"), LIT)]
+    batch = F.concat(
+        F.array(*core),
+        consider,
+        _plain_syns("alt_titles", "oboInOwl:hasExactSynonym"),
+        _plain_syns("included_titles", "mondo:omim_included"),
+        _plain_syns("included_symbols", "mondo:omim_included"),
+        _syns_with_axiom("pref_symbols", "oboInOwl:hasExactSynonym", _omo),
+        _syns_with_axiom("alt_symbols", "oboInOwl:hasExactSynonym", _omo),
+        _syns_with_axiom("former_alt_titles", "oboInOwl:hasRelatedSynonym", _dep),
+        _syns_with_axiom(
+            "former_alt_symbols", "oboInOwl:hasRelatedSynonym", _dep + _omo
+        ),
+        _syns_with_axiom("former_included_titles", "mondo:omim_included", _dep),
+        _syns_with_axiom("former_included_symbols", "mondo:omim_included", _dep),
     )
-
-    def _former_included(col: str) -> DataFrame:
-        base = live.select(
-            uri.alias("s"), F.explode(F.coalesce(F.col(col), F.array())).alias("v")
-        )
-        syn = base.select(
-            F.col("s").alias("subject"),
-            F.lit("mondo:omim_included").alias("predicate"),
-            F.col("v").alias("object"),
-            F.lit(LIT).alias("obj_kind"),
-            F.lit(None).cast("string").alias("datatype"),
-        )
-        ax = emit_axiom_annotations(
-            base,
-            F.col("s"),
-            F.lit("mondo:omim_included"),
-            F.col("v"),
-            LIT,
-            [("owl:deprecated", F.lit("true"), LIT)],
-        )
-        return syn.unionByName(ax)
-
-    former_inc_t = _former_included("former_included_titles")
-    former_inc_s = _former_included("former_included_symbols")
-
-    return union_triples(
-        core, consider, alt_syn, included_t, included_s, pref_abbrevs,
-        alt_abbrevs, former_titles, former_syms, former_inc_t, former_inc_s,
+    return (
+        entries.select(F.explode(batch).alias("t"))
+        .select([F.col(f"t.{f}").alias(f) for f in _FIELDS])
+        .filter(F.col("subject").isNotNull() & F.col("object").isNotNull())
     )
 
 

@@ -73,11 +73,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# Parquet layout metadata cache: path -> number of independently
-# schedulable scan units (row groups across the path's files).  Layout
-# metadata only — never row data — so caching it across calls is a
-# file-listing optimization, not result memoization.
-_SCAN_UNITS: dict[str, int] = {}
+# Parquet layout metadata cache: (path, listing fingerprint) ->
+# number of independently schedulable scan units (row groups across
+# the path's files).  Layout metadata only — never row data — so
+# caching it across calls is a file-listing optimization, not result
+# memoization.  The fingerprint (file names + sizes + mtimes, r13
+# ADVICE) invalidates the entry when a table is rewritten at the same
+# path (regenerated fixtures in a long-lived test session).
+_SCAN_UNITS: dict[tuple, int] = {}
+
+# scan_units() probes layout with POSIX os.* + local pyarrow opens.
+# On a non-local sf_dir (s3://, hdfs:// — the 100 TB deployment) the
+# probe cannot run; any real multi-file table over-parallelizes
+# already, so "already parallel" is the correct degradation and
+# spread() must NO-OP rather than crash at plan-construction time
+# (r13 ADVICE, medium).
+_ALREADY_PARALLEL = 1 << 30
 
 
 def scan_units(path: str) -> int:
@@ -88,10 +99,11 @@ def scan_units(path: str) -> int:
     scan parallelism is its row-group count no matter how small
     ``spark.sql.files.maxPartitionBytes`` is.  The driver's test
     tables are single-file single-row-group — every scan stage runs
-    ONE effective task regardless of core count."""
-    if path not in _SCAN_UNITS:
-        import pyarrow.parquet as pq
+    ONE effective task regardless of core count.
 
+    Unprobeable layouts (remote filesystems, missing paths) report
+    ``_ALREADY_PARALLEL`` so spread() degrades to a no-op."""
+    try:
         files = []
         if os.path.isdir(path):
             for root, _dirs, names in os.walk(path):
@@ -102,10 +114,20 @@ def scan_units(path: str) -> int:
                 )
         else:
             files = [path]
-        _SCAN_UNITS[path] = sum(
-            pq.ParquetFile(f).metadata.num_row_groups for f in files
+        fp = tuple(
+            (f, (st := os.stat(f)).st_size, st.st_mtime_ns)
+            for f in sorted(files)
         )
-    return _SCAN_UNITS[path]
+        key = (path, fp)
+        if key not in _SCAN_UNITS:
+            import pyarrow.parquet as pq
+
+            _SCAN_UNITS[key] = sum(
+                pq.ParquetFile(f).metadata.num_row_groups for f in files
+            )
+        return _SCAN_UNITS[key]
+    except Exception:
+        return _ALREADY_PARALLEL
 
 
 def spread(

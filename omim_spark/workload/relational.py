@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .registry import events_table, register, spread, table, table_spread
+from .registry import events_table, register, table, table_spread
 
 
 def dsum(col: Column) -> Column:

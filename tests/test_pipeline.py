@@ -315,6 +315,36 @@ class TestDeterministicTtl:
         assert text.startswith("@prefix")
         assert text.count("\n") > n  # header + one line per triple
 
+    def test_assume_distinct_byte_identical(
+        self, spark, omim_data_dir, tmp_path
+    ):
+        # r14: build_graph's triples are .distinct()-ed before their
+        # lineage cut, so the bench/CLI write path passes
+        # assume_distinct=True to skip the writer's redundant dedup
+        # exchange.  Pin that the flag changes the PLAN only, never
+        # the bytes, on both single-file paths.
+        from omim_spark.io.writers import write_ttl_sharded
+
+        r = build_graph(spark, omim_data_dir, version_date="2026-01-01")
+        base, fast = tmp_path / "base.ttl", tmp_path / "fast.ttl"
+        write_ttl(r.triples, str(base))
+        write_ttl(r.triples, str(fast), assume_distinct=True)
+        assert fast.read_bytes() == base.read_bytes()
+        sh_fast = tmp_path / "sh_fast.ttl"
+        write_ttl_sharded(r.triples, str(sh_fast), assume_distinct=True)
+        assert sh_fast.read_bytes() == base.read_bytes()
+
+    def test_auto_dispatch_probe_is_bounded(self, spark):
+        # r14 (r13 verdict #2): auto mode's sizing probe must not
+        # execute a full count of the input plan — it answers "more
+        # than threshold rows?" through a LIMIT threshold+1 probe.
+        # Pin the boundary semantics on exact row counts.
+        from omim_spark.io.writers import _exceeds
+
+        assert not _exceeds(spark.range(10), 10)
+        assert _exceeds(spark.range(11), 10)
+        assert not _exceeds(spark.range(0), 10)
+
     def test_sharded_writer_manifest_mode(self, spark, omim_data_dir, tmp_path):
         from omim_spark.io.writers import write_ttl_sharded
 

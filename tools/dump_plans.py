@@ -1,8 +1,10 @@
-"""Dump .explain("formatted") for headline queries to plans/<tag>/.
+"""Dump .explain("formatted") for headline queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <tag: before|after> [query ...]
-Writes plans/r13/<query>_<tag>.txt for each headline + bench-only
-query (or just the named ones).
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt (round dir
+defaults to r14; r13 ADVICE — the former hardcoded plans/r13 would
+have silently overwritten the committed r13 artifacts) for each
+headline + bench-only query (or just the named ones).
 """
 
 from __future__ import annotations
@@ -28,7 +30,10 @@ def main() -> None:
     fns.update(BENCH_ONLY)
     fns = {n: f for n, f in sorted(fns.items()) if not only or n in only}
 
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    rnd = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd
+    )
     os.makedirs(outdir, exist_ok=True)
     for name, fn in fns.items():
         df = fn(spark, sf_dir)

@@ -126,7 +126,11 @@ def run_build(spark, data_dir: str, ttl_path: str) -> tuple[float, int, float]:
     result = build_graph(spark, data_dir, version_date="2026-01-01")
     n = result.triples.count()
     t_write0 = time.perf_counter()
-    write_ttl(result.triples, ttl_path)
+    # build_graph's triples are .distinct()-ed before their lineage
+    # cut, so the writer's own dedup exchange is provably redundant
+    # here (r14: distinct-of-distinct removed from the timed write;
+    # outputs byte-compared by tests/test_pipeline.py either way).
+    write_ttl(result.triples, ttl_path, assume_distinct=True)
     t1 = time.perf_counter()
     return t1 - t0, n, t1 - t_write0
 
