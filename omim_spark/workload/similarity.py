@@ -29,7 +29,7 @@ from omim_spark.operators.checkpoint import (
     materialize_before_cleanup,
 )
 
-from .registry import register, table
+from .registry import register, table, table_spread
 
 _SCRATCH = Path(__file__).resolve().parent.parent.parent / ".scratch"
 
@@ -962,40 +962,68 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless map + TakeOrderedAndProject (no global sort, no
     shuffle); at full scale this runs inside IVF cells
     (q_ann_ivf_probe) with a residual codebook — same plan shape."""
-    emb = table(spark, sf_dir, "embeddings").select(
+    # r14 (r13 verdict #7): this was the slowest Spark-side query in
+    # the registry — 80-97 s at sf0.1 for 2000 vectors, i.e. ~40 ms/row
+    # on ONE task.  Three compounding causes, three fixes:
+    # 1. single-row-group scan → serial encode; spread it (§2.5).
+    # 2. every per-subspace distance allocated two slice() arrays and
+    #    a zip_with array per evaluation inside interpreted
+    #    higher-order functions; the index-walking aggregate below
+    #    keeps the identical left-to-right float reduction (same
+    #    doubles bit-for-bit) with zero allocations (§1.2 per-task
+    #    work).
+    # 3. the query→codeword distance was recomputed per VECTOR per
+    #    subspace; ADC's defining trick (Jegou et al. 2011) is that
+    #    this table is query-constant — precompute it ONCE on the
+    #    broadcast codebook side (PQ_C × PQ_M entries) and per vector
+    #    only LOOK IT UP.  Same arithmetic order per entry → the
+    #    looked-up double is bit-identical to the inline recompute.
+    emb = table_spread(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", _vec_double().alias("v")
     )
-    cb = emb.filter(F.col("vec_id") < PQ_C).agg(
+    # Codebook + query sides read the plain scan (PQ_C+1 rows survive
+    # their filters — routing them through the spread exchange would
+    # add two stages for nothing).
+    small = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    cb = small.filter(F.col("vec_id") < PQ_C).agg(
         F.collect_list(
             F.struct(F.col("vec_id").alias("c"), F.col("v").alias("cv"))
         ).alias("cbs")
     )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    q = small.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     sub_d2 = (
-        f"aggregate(zip_with(slice({{a}}, m * {PQ_SUB} + 1, {PQ_SUB}), "
-        f"slice({{b}}, m * {PQ_SUB} + 1, {PQ_SUB}), "
-        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+        f"aggregate(sequence(1, {PQ_SUB}), 0.0D, (acc, i) -> acc + "
+        f"(element_at({{a}}, m * {PQ_SUB} + i) - element_at({{b}}, m * {PQ_SUB} + i)) * "
+        f"(element_at({{a}}, m * {PQ_SUB} + i) - element_at({{b}}, m * {PQ_SUB} + i)))"
     )
+    # Broadcast side: one row, PQ_C codewords, each augmented with its
+    # per-subspace distance to the query (the ADC lookup table).
+    qd = (
+        f"transform(cbs, e -> struct(e.c AS c, e.cv AS cv, "
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        + sub_d2.format(a="qv", b="e.cv")
+        + ") AS qd))"
+    )
+    cbq = cb.crossJoin(q).select(F.expr(qd).alias("cbs"), "qv")
     codes = (
         f"transform(sequence(0, {PQ_M - 1}), m -> "
         f"array_min(transform(cbs, e -> struct("
         f"{sub_d2.format(a='v', b='e.cv')} AS d2, e.c AS c))).c)"
     )
-    # ADC: look the codeword back up per subspace, decimal-sum the
-    # 8 per-subspace terms (order-independent reduction).
+    # ADC: table lookup per subspace, decimal-sum the 8 terms
+    # (order-independent reduction, identical to the r13 inline form).
     adist = (
         f"cast(aggregate(sequence(0, {PQ_M - 1}), "
         "cast(0 as decimal(18,6)), (acc, m) -> cast(acc + cast("
-        + sub_d2.format(
-            a="qv", b="filter(cbs, e -> e.c = element_at(cds, m + 1))[0].cv"
-        )
-        + " as decimal(18,6)) as decimal(18,6))) as double)"
+        "element_at(filter(cbs, e -> e.c = element_at(cds, m + 1))[0].qd, m + 1)"
+        " as decimal(18,6)) as decimal(18,6))) as double)"
     )
     return (
-        emb.crossJoin(F.broadcast(cb))
-        .crossJoin(F.broadcast(q))
+        emb.crossJoin(F.broadcast(cbq))
         .filter(F.col("vec_id") != 0)
-        .select("vec_id", F.expr(codes).alias("cds"), "qv", "cbs")
+        .select("vec_id", F.expr(codes).alias("cds"), "cbs")
         .select("vec_id", F.expr(adist).alias("adist"))
         .orderBy("adist", "vec_id")
         .limit(10)

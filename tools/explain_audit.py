@@ -184,12 +184,16 @@ AUDITS: dict[str, dict] = {
     },
     "q_dedup_ngram_jaccard": {
         # r13: the shingle + capped tables are cut_lineage'd (explode
-        # runs once, mirroring the LSH funnel), so the df-cap's
-        # aggregate + anti join now sits INSIDE the checkpointed
-        # subplan — the final plan shows ExistingRDD scans, like
-        # q_dedup_lsh_capped's.  Still never a count window (which
-        # would funnel a hot shingle's every occurrence through one
-        # task) and never a cross product.
+        # runs once, mirroring the LSH funnel).  r14 (r13 ADVICE): the
+        # cuts hid the funnel inside ExistingRDD subplans, making this
+        # audit vacuous — the spec now constructs the plan under
+        # spark.omim.checkpoint.mode=none so the WHOLE funnel is
+        # visible: the documents scan must stay 2 columns, the df-cap
+        # must stay an aggregate + anti join (never a count window,
+        # which would funnel a hot shingle's every occurrence through
+        # one task), and never a cross product.
+        "checkpoint_mode": "none",
+        "require": ["LeftAnti"],
         "forbid": ["CartesianProduct", "Window", "BroadcastNestedLoopJoin"],
         "max_scan_cols": {"documents": 2},
     },
@@ -810,8 +814,23 @@ def audit(spark, sf_dir: str) -> list[str]:
     )
     for name, spec in AUDITS.items():
         fn = QUERIES[name].fn if name in QUERIES else BENCH_ONLY[name]
-        df = fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().explainString(mode)
+        # checkpoint_mode=none constructs the plan with lineage cuts
+        # disabled so invariants INSIDE a checkpointed funnel stay
+        # auditable (otherwise the cut subplan is an opaque
+        # ExistingRDD and the spec can't catch a regression there).
+        ckpt = spec.get("checkpoint_mode")
+        if ckpt is not None:
+            prev = spark.conf.get("spark.omim.checkpoint.mode", None)
+            spark.conf.set("spark.omim.checkpoint.mode", ckpt)
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().explainString(mode)
+        finally:
+            if ckpt is not None:
+                if prev is None:
+                    spark.conf.unset("spark.omim.checkpoint.mode")
+                else:
+                    spark.conf.set("spark.omim.checkpoint.mode", prev)
         if "pushed" in spec:
             pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
             if not re.search(spec["pushed"], pushed):
