@@ -176,15 +176,33 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (all-pairs verification
     tier — at scale only run on LSH/IVF candidate buckets; see
-    q_ann_lsh_buckets for the pruning layer)."""
+    q_ann_lsh_buckets for the pruning layer).
+
+    r14 (guide §1.2 per-task work): norms are computed ONCE PER
+    VECTOR before the pair join instead of once per pair (identical
+    expression per side, so sqrt(dot(v,v)) is the same double and
+    dot/(na*nb) multiplies the same values in the same order —
+    bit-identical cosine), and the streamed side of the
+    nested-loop join is spread so the |pairs| evaluations use every
+    core instead of the one task a single-row-group scan allows."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_double().alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    cos = _cosine("va", "vb")
+    nrm = F.sqrt(_dot("v", "v"))
+    a = table_spread(spark, sf_dir, "embeddings", "vec_id").select(
+        F.col("vec_id").alias("vec_a"),
+        _vec_double().alias("va"),
+    ).withColumn("na", F.sqrt(_dot("va", "va")))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), nrm.alias("nb")
+    )
+    cos = _dot("va", "vb") / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        # Explicit broadcast pins the nested-loop build side to b, so
+        # the SPREAD side streams: without it the planner may build
+        # the spread side and stream the single-partition scan,
+        # keeping the pair loop serial.
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.45)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
