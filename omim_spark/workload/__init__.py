@@ -47,73 +47,45 @@ from . import maintenance  # noqa: E402,F401
 # window is final — the driver then verifies exactly that code, making
 # the manifest the next round's "last driver-green" baseline.
 #
-# Round-13 window:
-# - entering round 13 the cumulative state is: CORRECTNESS_r12 50/50
-#   green; all 193 registered queries driver-green AND hash-matchable
-#   with code AST-identical since their green (ledger-enforced);
-#   green histogram {r8: 9, r9: 45, r10: 45, r11: 44, r12: 50}.
-# - 20 slots below (2 new gates + 18 changed-closure rides); the ~30
-#   fill slots take all nine r8 greens (the r12 verdict drain target:
-#   q02/q07/q08/q09/q11/q19/q20/q21/q22) plus the oldest r9s.
+# Round-14 window (optimization round 2 of 2; OPTIMIZATION_r14.md):
+# - entering round 14: CORRECTNESS_r13 50/50 green; every registered
+#   query driver-green with code AST-identical since its green
+#   (ledger-enforced); green histogram {r10: 45, r11: 44, r12: 55,
+#   r13: 50}.
+# - 13 changed-closure slots below; the 37 fill slots rotate to the
+#   longest-unverified queries (the r10 greens) mechanically.
 _VERIFY_FIRST = [
-    # NEW in round 13 (r12 advice, medium): fuzzy decontamination no
-    # longer silently LOSES fully-capped train docs (every band bucket
-    # hot — >cap near-identical copies of a leaked passage).  Those
-    # docs now route to a direct shingle-overlap fallback against the
-    # broadcast bench shingles (strictly better recall than banding),
-    # and the output's new via_fallback column makes the routing
-    # auditable.  The capfire fixture now pins the FIRE path both
-    # ways: fd1-fd3 report via_fallback=true (recall recovered),
-    # at-cap fd4/fd5 report via_fallback=false (strict > pinned —
-    # a >= regression flips their flag and hash-mismatches).
-    "q_decontaminate_fuzzy",
-    "q_decontaminate_fuzzy_capfire",
-    # NEW in round 13 (r12 verdict #8): the hot-SHINGLE cap (MAX_DF)
-    # gets the same cap-firing oracle fixture the band cap got in r12
-    # — an at-cap pair survives (strict >), a fully-hot pair vanishes,
-    # and one pair's Jaccard crosses 0.8 ONLY because the cap reaches
-    # the verification tier too (shared lsh_capped_pairs core +
-    # _lsh_capped_oracle builder, so gate and fixture can never
-    # drift).
-    "q_dedup_lsh_capfire",
-    # CHANGED in round 13 (r12 verdict #2): the shared workload/
-    # capability cores' lineage cuts (LSH funnel shingle/candidate
-    # tables, fuzzy-decon band table, recall metrics, incremental
-    # dedup, crossmodal near-dup, perplexity LM build) now route
-    # through operators/checkpoint.cut_lineage like their operators/
-    # siblings — plans byte-identical in 'local' mode; plus the
-    # narrowed Connect-probe except in cut_lineage itself (r12
-    # advice) rides into every consumer's closure.
-    "q_dedup_lsh_capped",
-    "q_dedup_minhash_lsh",
-    "q_dedup_incremental",
-    "q_dedup_cluster_histogram",
-    "q_dedup_cluster_survivors",
-    "q_lsh_recall",
-    "q_lsh_recall_sampled",
-    "q_crossmodal_neardup",
-    "q_perplexity_filter",
-    "q_ann_ivf_stored",
-    # CHANGED in round 13: cut_lineage closure rides only (the
-    # narrowed except; no workload-side edits).
-    "q_decontaminate",
-    "q_label_propagation",
-    "q_pagerank_steps",
-    "q_substring_dup_stats",
-    "q_substring_clean_corpus",
-    "q_substring_dup_by_source",
-    "q_substring_excise",
-    # CHANGED in round 13, optimization pass (OPTIMIZATION_r13.md):
-    # scale-adaptive scan spreading (registry.spread — repartition
-    # after single-row-group scans, a no-op on any layout that
-    # already parallelizes) on q01/q03/sessionize and the two dedup
-    # funnels, plus the jaccard funnel's cut_lineage'd shingle tables
-    # (explode-once, mirroring the LSH funnel).  Results verified
-    # hash-identical at sf0.001/0.01/0.1 against the oracle.
+    # CHANGED in round 14: the five consumers of the fused
+    # triple-emission legs (triples.py: emit_entry_classes 11-leg →
+    # 1-explode, emit_restriction_with_evidence 3 → 1,
+    # emit_gene_disease_associations 2×3 → 2×1; multiset-identical by
+    # construction — WHEN gates replace leg filters, per-element
+    # synonym+axiom batches replace per-leg explodes).  Golden TTL
+    # byte-identical; oracle hash-match at sf0.001.
+    "q_omim_axiom_synonyms",
+    "q_omim_entry_classes",
+    "q_omim_gene_disease_bidi",
+    "q_omim_restriction_emission",
+    "q_omim_ttl_lines",
+    # CHANGED in round 14: PQ-ADC scoring rewrite (spread scan,
+    # zero-allocation index-walking aggregate, query-constant distance
+    # table precomputed on the broadcast codebook side — bit-identical
+    # doubles, same left-to-right reduction order) and the all-pairs
+    # cosine tier (per-vector norms hoisted out of the pair loop,
+    # spread streamed side, pinned broadcast build side).  Oracle
+    # hash-match at sf0.001/0.01/0.1.
+    "q_ann_pq_adc",
+    "q_embedding_neardup",
+    # CHANGED in round 14, closure rides only: registry.scan_units
+    # gained the remote-path no-op guard + fingerprinted layout cache
+    # (r13 ADVICE medium/low) — every spread() user's hash moves; the
+    # query plans at probe-able local paths are byte-identical.
     "q01_pricing_summary",
     "q03_top_orders",
+    "q_dedup_lsh_capped",
     "q_dedup_ngram_jaccard",
     "q_sessionize",
+    "q_substring_dup_stats",
 ]
 
 # Queries that must sit PAST the driver's first-50 window: rows-only
