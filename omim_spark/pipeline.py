@@ -103,6 +103,15 @@ def build_graph(
     # never corpus-scale), so materializing them is safe at any SF,
     # and the cut routes through the same deployment-tiered
     # cut_lineage as every other operator.
+    # NOTE (r14, measured and rejected): hash-repartitioning mim_titles
+    # here to parallelize the single-task entries leg (§2.5 input skew)
+    # made the build ~7x SLOWER at 2000 replicas — the repartition
+    # pushes the two ArrowEvalPython title-cleanup stages onto 32
+    # concurrent tasks, and the Python-worker cold-start storm (32+
+    # fresh workers importing pandas at once in the fresh-JVM bench
+    # regime) costs 82 s cold / 13 s warm vs 2.1 s serial.  The Arrow
+    # UDF stage must stay coarse; only post-checkpoint JVM work may
+    # spread.
     mim_titles = parse.parse_mim_titles(
         readers.read_mim_titles(spark, p("mimTitles.txt"))
     ).transform(cut_lineage, eager=False)
@@ -293,16 +302,31 @@ def build_graph(
     # layer is graph-sized (OMIM-entry-proportional, never corpus-
     # scale), so materializing it once per layer is scale-safe.
     all_triples = all_triples.transform(cut_lineage, eager=True)
-    merged = (
+    base = (
         T.union_triples(all_triples, sssom_triples)
         .distinct()
         .transform(cut_lineage, eager=False)
     )
-    merged = T.union_triples(
-        merged, add_flipped_mondo_mappings(merged)
-    ).transform(cut_lineage, eager=False)
-    merged = T.union_triples(merged, add_hgnc_links(merged)).distinct()
-    merged = merged.transform(cut_lineage, eager=True)
+    # r14: the two INSERT rewrites are applied to the SAME base layer
+    # and unioned in one pass instead of sequentially (each former
+    # layer carried its own checkpoint materialization + a second
+    # full-graph distinct).  Equivalent by construction:
+    # add_flipped_mondo_mappings emits only skos:exactMatch triples
+    # whose object starts with "MONDO:" (the flip swaps a subject that
+    # passed a startswith("MONDO:") filter into the object slot), while
+    # add_hgnc_links pattern-matches only rdfs:subClassOf /
+    # owl:onProperty / owl:someValuesFrom predicates and exactMatch
+    # edges whose OBJECT starts with "HGNC:" — so no flipped triple can
+    # ever match an hgnc_links pattern and
+    # add_hgnc_links(base ∪ flipped) ≡ add_hgnc_links(base) for every
+    # input, not just this data.  The final distinct subsumes the
+    # per-layer ones, so the merged SET is identical (pinned by
+    # tests/test_pipeline.py::test_merged_rewrite_fusion).
+    merged = (
+        T.union_triples(base, add_flipped_mondo_mappings(base), add_hgnc_links(base))
+        .distinct()
+        .transform(cut_lineage, eager=True)
+    )
 
     # --- Reports -----------------------------------------------------------
     omim_types = mim_titles.select("mim_number", "omim_type")

@@ -186,6 +186,52 @@ class TestQueries:
             for r in rows
         )
 
+    def test_merged_rewrite_fusion(self, spark, build):
+        # r14 pipeline optimization: build_graph applies BOTH INSERT
+        # rewrites to the same base layer and unions them in one pass.
+        # This pins the equivalence with the former sequential
+        # composition (flip first, then hgnc_links over the flipped
+        # graph) on a graph where BOTH rewrites produce rows — the
+        # fixture graph plus a MONDO-subject exactMatch edge so the
+        # flip is non-empty.
+        from omim_spark import triples as T
+
+        extra = spark.createDataFrame(
+            [
+                ("MONDO:0008556", "skos:exactMatch", "OMIM:100100", "uri", None),
+                ("MONDO:0099999", "skos:exactMatch", "HGNC:1950", "uri", None),
+            ],
+            "subject string, predicate string, object string, "
+            "obj_kind string, datatype string",
+        )
+        base = T.union_triples(build.triples, extra).distinct()
+
+        def tset(df):
+            return {
+                (r.subject, r.predicate, r.object, r.obj_kind, r.datatype)
+                for r in df.collect()
+            }
+
+        mid = T.union_triples(base, add_flipped_mondo_mappings(base))
+        sequential = tset(
+            T.union_triples(mid, add_hgnc_links(mid)).distinct()
+        )
+        fused = tset(
+            T.union_triples(
+                base, add_flipped_mondo_mappings(base), add_hgnc_links(base)
+            ).distinct()
+        )
+        assert fused == sequential
+        # and the test is not vacuous: both rewrites fired
+        assert (
+            "HGNC:1950",
+            "skos:exactMatch",
+            "MONDO:0099999",
+            "uri",
+            None,
+        ) in fused  # the flip of the extra MONDO→HGNC edge
+        assert ("HGNC:1950", "rdf:type", "owl:Class", "uri", None) in fused
+
     def test_insert_rewrites(self, build):
         flipped = add_flipped_mondo_mappings(build.triples)
         assert any(
