@@ -167,9 +167,24 @@ def build_graph(
     decided.cache()  # feeds three sinks (triples, review, robot tsv)
 
     # --- Triple emission ---------------------------------------------------
+    # The entries checkpoint is single-partition (the mimTitles text
+    # source reads as one split, and the Arrow-UDF cleanup must stay
+    # coarse — see the parse-section note), so the fused entry-classes
+    # explode, the heaviest emission leg, ran as ONE 3.2 s straggler
+    # task that set the 4.3 s emission-stage wall (r14 event-log
+    # census, 2000 replicas).  Repartition AFTER the checkpoint so
+    # only the JVM-side explode spreads: the exchange moves a few MB
+    # of OMIM-bounded rows, the Python boundary stays one task, and
+    # the target derives from the session's parallelism.  Interleaved
+    # full-build A/B (two rounds of 6 pairs, warm JVM): min 15.6/16.7
+    # → 13.4/15.1 s.
     parts: list[DataFrame] = [
         T.ontology_header(spark, version_date),
-        T.emit_entry_classes(entries),
+        T.emit_entry_classes(
+            entries.repartition(
+                spark.sparkContext.defaultParallelism, "mim_number"
+            )
+        ),
     ]
 
     # Gene ids: OMIM gene → NCBIGENE exactMatch; phenotype → RO:0002200
